@@ -1,0 +1,410 @@
+"""Fused attention for MUSt3R-TPU.
+
+Replaces the reference's three attention backends (xformers
+``memory_efficient_attention``, torch SDPA, manual softmax --
+``/root/reference/must3r/model/blocks/attention.py:37-79``) and its
+materialized boolean/float attention masks (``decoder.py:119-139,388-433``)
+with two TPU-native primitives:
+
+* :func:`self_attention` -- flash self-attention over per-image tokens
+  (encoder + decoder SA). No mask is ever needed (SA is always full within
+  an image).
+
+* :func:`memory_cross_attention` -- flash cross-attention of per-image
+  queries against the shared token memory. All reference masking rules
+  (self-exclusion on update, label-causality in training, validity of a
+  fixed-capacity cache, token dropout) reduce to a per-token predicate on
+  integer labels::
+
+      allow(g, j) = valid(j) AND label[j] != q_self[g] AND label[j] < q_upper[g]
+                    AND NOT extra_mask[g, j]
+
+  computed *in-kernel* from an [S] label vector -- the O(G*N*S) boolean mask
+  of the reference is never materialized, and the kernel's KV loop runs to
+  the memory's dynamic fill level (``kv_len``) rather than its static
+  capacity, so a fixed-capacity cache costs nothing over its live size.
+
+Implementations:
+  * ``pallas``  -- TPU kernels (inference hot path; fwd only).
+  * ``chunked`` -- pure-XLA online-softmax scan (differentiable; the
+    training path and the CPU/test fallback). Numerically identical
+    semantics.
+
+Mask convention summary (matching the reference):
+  * render:           q_self = -2, q_upper = INT32_MAX  (attend all valid)
+  * update (non-causal): q_self = own label, q_upper = INT32_MAX
+  * init, single image:  no mask at all (image attends itself!)
+  * causal training:  q_self = own, q_upper = own; exception: the very first
+    image of a fresh memory gets q_upper = 2 so it can attend image 1
+    (reference: decoder.py:394-400).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+_NEG_INF = -1e30
+
+
+def _default_impl() -> str:
+    platform = jax.default_backend()
+    return "pallas" if platform == "tpu" else "chunked"
+
+
+# ---------------------------------------------------------------------------
+# Reference (naive) implementation -- ground truth for tests
+# ---------------------------------------------------------------------------
+
+def attention_reference(q, k, v, mask=None):
+    """Plain softmax attention. q: [..., Nq, H, Dh]; k/v: [..., Nk, H, Dh].
+
+    mask: optional bool [..., Nq, Nk] or [..., 1, Nk]; True = attend.
+    """
+    dh = q.shape[-1]
+    scale = 1.0 / math.sqrt(dh)
+    qf = q.astype(jnp.float32) * scale
+    s = jnp.einsum("...qhd,...khd->...hqk", qf, k.astype(jnp.float32))
+    if mask is not None:
+        s = jnp.where(mask[..., None, :, :], s, _NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("...hqk,...khd->...qhd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Self-attention
+# ---------------------------------------------------------------------------
+
+def self_attention(q, k, v, impl: Optional[str] = None):
+    """Full (unmasked) multi-head attention.
+
+    Args:
+      q, k, v: [B, N, H, Dh].
+    Returns:
+      [B, N, H, Dh], dtype of q.
+    """
+    impl = impl or _default_impl()
+    if impl == "pallas":
+        return _sa_pallas(q, k, v)
+    if impl == "chunked":
+        return _sa_chunked(q, k, v)
+    return attention_reference(q, k, v)
+
+
+def _sa_chunked(q, k, v, chunk: int = 1024):
+    b, n, h, dh = q.shape
+    nk = k.shape[1]
+    if nk <= chunk:
+        return attention_reference(q, k, v)
+    scale = 1.0 / math.sqrt(dh)
+    qf = (q.astype(jnp.float32) * scale).transpose(0, 2, 1, 3)  # B,H,N,Dh
+    pad = (-nk) % chunk
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    nb = (nk + pad) // chunk
+    kc = kp.reshape(b, nb, chunk, h, dh).transpose(1, 0, 3, 2, 4)  # nb,B,H,c,Dh
+    vc = vp.reshape(b, nb, chunk, h, dh).transpose(1, 0, 3, 2, 4)
+    valid = (jnp.arange(nb * chunk) < nk).reshape(nb, chunk)
+
+    def body(carry, inp):
+        m, l, acc = carry
+        k_c, v_c, val_c = inp
+        s = jnp.einsum("bhnd,bhcd->bhnc", qf, k_c.astype(jnp.float32))
+        s = jnp.where(val_c[None, None, None, :], s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jnp.einsum("bhnc,bhcd->bhnd", p, v_c.astype(jnp.float32))
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((b, h, n, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, h, n, 1), jnp.float32)
+    acc0 = jnp.zeros((b, h, n, dh), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), (kc, vc, valid))
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def _sa_pallas(q, k, v, block_q: int = 512, block_k: int = 512,
+               interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, h, dh = q.shape
+    scale = 1.0 / math.sqrt(dh)
+    qt = q.transpose(0, 2, 1, 3)  # B,H,N,Dh
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    bq = min(block_q, n)
+    n_q = -(-n // bq)
+    n_pad = n_q * bq - n
+    if n_pad:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
+    nk = n  # kv length == n for SA
+    bk = min(block_k, nk)
+    n_k = -(-nk // bk)
+    k_pad = n_k * bk - nk
+    if k_pad:
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        qb = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, Dh)
+        m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+        l = jnp.zeros((bq, 1), jnp.float32)
+        acc = jnp.zeros((bq, dh), jnp.float32)
+        for j in range(n_k):
+            kb = k_ref[0, 0, j * bk:(j + 1) * bk, :].astype(jnp.float32)
+            vb = v_ref[0, 0, j * bk:(j + 1) * bk, :].astype(jnp.float32)
+            s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            if k_pad and j == n_k - 1:
+                col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+                s = jnp.where(col < bk - k_pad, s, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jnp.dot(p, vb, preferred_element_type=jnp.float32)
+            m = m_new
+        o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, n_q * bq, dh), q.dtype),
+        grid=(b, h, n_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, dh), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, n_k * bk, dh), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, n_k * bk, dh), lambda bi, hi, qi: (bi, hi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, dh), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qt, kt, vt)
+    if n_pad:
+        out = out[:, :, :n, :]
+    return out.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Memory cross-attention
+# ---------------------------------------------------------------------------
+
+def memory_cross_attention(q, k, v, labels, q_self=None, q_upper=None,
+                           kv_len=None, extra_mask=None,
+                           impl: Optional[str] = None):
+    """Label-masked flash cross-attention against the token memory.
+
+    Args:
+      q: [B, G, N, H, Dh] queries (G = images in this step).
+      k, v: [B, H, S, Dh] memory keys/values (S = static capacity).
+      labels: [B, S] int32 image label per memory token; -1 = invalid slot.
+      q_self: [B, G] int32; memory tokens with this label are masked
+        (self-exclusion). Use -2 to disable.
+      q_upper: [B, G] int32; tokens with label >= q_upper are masked
+        (label-causality). Use INT32_MAX to disable.
+      kv_len: scalar int32 high-water mark of the memory; compute beyond it
+        is skipped (labels there must be -1). Defaults to S.
+      extra_mask: optional bool [B, G, S]; True = blocked (token dropout).
+
+    Returns: [B, G, N, H, Dh].
+    """
+    b, g, n, h, dh = q.shape
+    s_cap = k.shape[2]
+    if q_self is None:
+        q_self = jnp.full((b, g), -2, jnp.int32)
+    if q_upper is None:
+        q_upper = jnp.full((b, g), INT32_MAX, jnp.int32)
+    if kv_len is None:
+        kv_len = jnp.int32(s_cap)
+    impl = impl or _default_impl()
+    if impl == "pallas" and extra_mask is None:
+        return _ca_pallas(q, k, v, labels, q_self, q_upper, kv_len)
+    return _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask)
+
+
+def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
+                chunk: int = 1024):
+    """Differentiable online-softmax cross-attention (XLA scan over S)."""
+    b, g, n, h, dh = q.shape
+    s_cap = k.shape[2]
+    scale = 1.0 / math.sqrt(dh)
+    qf = (q.astype(jnp.float32) * scale).transpose(0, 1, 3, 2, 4)  # B,G,H,N,Dh
+
+    c = min(chunk, s_cap)
+    pad = (-s_cap) % c
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)), constant_values=-1)
+        if extra_mask is not None:
+            extra_mask = jnp.pad(extra_mask, ((0, 0), (0, 0), (0, pad)),
+                                 constant_values=True)
+    nb = (s_cap + pad) // c
+    kc = k.reshape(b, h, nb, c, dh).transpose(2, 0, 1, 3, 4)      # nb,B,H,c,Dh
+    vc = v.reshape(b, h, nb, c, dh).transpose(2, 0, 1, 3, 4)
+    lc = labels.reshape(b, nb, c).transpose(1, 0, 2)               # nb,B,c
+    xs = (kc, vc, lc)
+    if extra_mask is not None:
+        ec = extra_mask.reshape(b, g, nb, c).transpose(2, 0, 1, 3)  # nb,B,G,c
+        xs = xs + (ec,)
+
+    def body(carry, inp):
+        m, l, acc = carry
+        if extra_mask is not None:
+            k_c, v_c, lbl, ext = inp
+        else:
+            k_c, v_c, lbl = inp
+            ext = None
+        s = jnp.einsum("bghnd,bhcd->bghnc", qf, k_c.astype(jnp.float32))
+        lb = lbl[:, None, :]                                      # B,1,c
+        allow = (lb >= 0) & (lb != q_self[..., None]) & (lb < q_upper[..., None])
+        if ext is not None:
+            allow = allow & (~ext)
+        s = jnp.where(allow[:, :, None, None, :], s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jnp.einsum("bghnc,bhcd->bghnd", p,
+                                      v_c.astype(jnp.float32))
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((b, g, h, n, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, g, h, n, 1), jnp.float32)
+    acc0 = jnp.zeros((b, g, h, n, dh), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), xs)
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.transpose(0, 1, 3, 2, 4).astype(q.dtype)
+
+
+def _ca_pallas(q, k, v, labels, q_self, q_upper, kv_len,
+               block_k: int = 512, interpret: bool = False):
+    """Flash CA kernel: KV stays in HBM; blocks are DMA'd with double
+    buffering; the KV loop bound is the *dynamic* fill level of the cache,
+    so a fixed-capacity memory costs no compute or bandwidth beyond its
+    live tokens. Masking is computed in-kernel from token labels.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, g, n, h, dh = q.shape
+    s_cap = k.shape[2]
+    bk = min(block_k, s_cap)
+    assert s_cap % bk == 0, (
+        f"memory capacity {s_cap} must be a multiple of block_k={bk}; "
+        "round capacities up when allocating the memory")
+    scale = 1.0 / math.sqrt(dh)
+
+    qt = q.transpose(0, 1, 3, 2, 4)  # B,G,H,N,Dh
+    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    q_self = q_self.astype(jnp.int32)
+    q_upper = q_upper.astype(jnp.int32)
+
+    def kernel(len_ref, qself_ref, qupper_ref,       # scalar prefetch
+               q_ref, k_hbm, v_hbm, lbl_hbm,          # inputs
+               o_ref,                                 # output
+               k_buf, v_buf, lbl_buf, sem):           # scratch
+        bi = pl.program_id(0)
+        gi = pl.program_id(1)
+        hi = pl.program_id(2)
+        length = len_ref[0]
+        n_blocks = jnp.maximum(pl.cdiv(length, bk), 1)
+        qs = qself_ref[bi, gi]
+        qu = qupper_ref[bi, gi]
+        qb = q_ref[0, 0, 0].astype(jnp.float32) * scale  # (N, Dh)
+
+        def dma_k(slot, idx):
+            return pltpu.make_async_copy(
+                k_hbm.at[bi, hi, pl.ds(idx * bk, bk), :], k_buf.at[slot],
+                sem.at[slot, 0])
+
+        def dma_v(slot, idx):
+            return pltpu.make_async_copy(
+                v_hbm.at[bi, hi, pl.ds(idx * bk, bk), :], v_buf.at[slot],
+                sem.at[slot, 1])
+
+        def dma_l(slot, idx):
+            return pltpu.make_async_copy(
+                lbl_hbm.at[bi, pl.ds(idx * bk, bk)], lbl_buf.at[slot, 0],
+                sem.at[slot, 2])
+
+        def start(slot, idx):
+            dma_k(slot, idx).start()
+            dma_v(slot, idx).start()
+            dma_l(slot, idx).start()
+
+        start(0, 0)
+
+        def body(i, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                start(jax.lax.rem(i + 1, 2), i + 1)
+
+            dma_k(slot, i).wait()
+            dma_v(slot, i).wait()
+            dma_l(slot, i).wait()
+
+            kb = k_buf[slot].astype(jnp.float32)          # (bk, Dh)
+            vb = v_buf[slot].astype(jnp.float32)
+            lbl = lbl_buf[slot]                            # (1, bk)
+            s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            allow = (lbl >= 0) & (lbl != qs) & (lbl < qu)  # (1, bk)
+            s = jnp.where(allow, s, _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jnp.dot(p, vb, preferred_element_type=jnp.float32)
+            return (m_new, l, acc)
+
+        m0 = jnp.full((n, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((n, 1), jnp.float32)
+        acc0 = jnp.zeros((n, dh), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        o_ref[0, 0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, g, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, n, dh),
+                         lambda bi, gi, hi, *_: (bi, gi, hi, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, n, dh),
+                               lambda bi, gi, hi, *_: (bi, gi, hi, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bk, dh), k.dtype),
+            pltpu.VMEM((2, bk, dh), v.dtype),
+            pltpu.VMEM((2, 1, bk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, g, h, n, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_len, q_self, q_upper, qt, k, v, labels)
+    return out.transpose(0, 1, 3, 2, 4)

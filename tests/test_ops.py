@@ -1,0 +1,261 @@
+"""Unit tests for core ops: RoPE2D, geometry warps, patchify, attention."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from must3r_tpu.ops import (
+    apply_exp_to_norm,
+    apply_log_to_norm,
+    apply_rope2d,
+    make_rope_tables,
+    memory_cross_attention,
+    patchify_positions,
+    self_attention,
+    unpatchify,
+)
+from must3r_tpu.ops.attention import (
+    INT32_MAX,
+    _ca_chunked,
+    _ca_pallas,
+    _sa_chunked,
+    _sa_pallas,
+    attention_reference,
+)
+from must3r_tpu.ops.patch import patchify_image
+
+
+# ---------------------------------------------------------------------------
+# RoPE2D
+# ---------------------------------------------------------------------------
+
+def _rope2d_numpy(tokens, positions, base=100.0, f0=1.0):
+    """Literal transcription of croco RoPE2D semantics for cross-checking."""
+    t = np.asarray(tokens, np.float64)  # [N, Dh]
+    pos = np.asarray(positions)         # [N, 2]
+    n, dh = t.shape
+    d_axis = dh // 2
+    out = np.empty_like(t)
+    for axis in range(2):  # y then x
+        half = t[:, axis * d_axis:(axis + 1) * d_axis]
+        d = d_axis
+        inv_freq = 1.0 / (base ** (np.arange(0, d, 2) / d))  # [d/2]
+        ang = pos[:, axis:axis + 1] * f0 * inv_freq          # [N, d/2]
+        cos = np.concatenate([np.cos(ang), np.cos(ang)], -1)
+        sin = np.concatenate([np.sin(ang), np.sin(ang)], -1)
+        x1, x2 = half[:, :d // 2], half[:, d // 2:]
+        rot = np.concatenate([-x2, x1], -1)
+        out[:, axis * d_axis:(axis + 1) * d_axis] = half * cos + rot * sin
+    return out
+
+
+def test_rope2d_matches_reference_semantics(rng):
+    n, dh = 12, 64
+    tokens = rng.standard_normal((n, dh)).astype(np.float32)
+    pos = rng.integers(0, 32, size=(n, 2)).astype(np.int32)
+    want = _rope2d_numpy(tokens, pos, base=100.0, f0=0.4375)
+    cos, sin = make_rope_tables(jnp.asarray(pos), dh, base=100.0, f0=0.4375)
+    got = apply_rope2d(jnp.asarray(tokens), cos, sin)
+    # f32 cos/sin of large angles vs the f64 transcription: ~1e-5 abs
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_rope2d_heads_axis_broadcast(rng):
+    b, n, h, dh = 2, 7, 3, 32
+    tokens = rng.standard_normal((b, n, h, dh)).astype(np.float32)
+    pos = rng.integers(0, 16, size=(b, n, 2)).astype(np.int32)
+    cos, sin = make_rope_tables(jnp.asarray(pos), dh)
+    got = apply_rope2d(jnp.asarray(tokens), cos, sin)
+    # per-head result equals applying without the heads axis
+    for hh in range(h):
+        cos2, sin2 = make_rope_tables(jnp.asarray(pos), dh)
+        want = apply_rope2d(jnp.asarray(tokens[:, :, hh]), cos2, sin2)
+        np.testing.assert_allclose(np.asarray(got[:, :, hh]), np.asarray(want),
+                                   rtol=1e-6)
+
+
+def test_rope2d_preserves_norm(rng):
+    n, dh = 5, 64
+    tokens = rng.standard_normal((n, dh)).astype(np.float32)
+    pos = rng.integers(0, 100, size=(n, 2)).astype(np.int32)
+    cos, sin = make_rope_tables(jnp.asarray(pos), dh)
+    got = apply_rope2d(jnp.asarray(tokens), cos, sin)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1),
+                               np.linalg.norm(tokens, axis=-1), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Geometry
+# ---------------------------------------------------------------------------
+
+def test_log_exp_norm_roundtrip(rng):
+    xyz = rng.standard_normal((4, 5, 3)).astype(np.float32) * 3
+    back = apply_exp_to_norm(apply_log_to_norm(jnp.asarray(xyz)))
+    np.testing.assert_allclose(np.asarray(back), xyz, rtol=1e-4, atol=1e-5)
+
+
+def test_exp_norm_direction_and_magnitude(rng):
+    xyz = jnp.asarray([[3.0, 0.0, 0.0]])
+    out = apply_exp_to_norm(xyz)
+    np.testing.assert_allclose(np.asarray(out), [[math.expm1(3.0), 0, 0]],
+                               rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Patchify
+# ---------------------------------------------------------------------------
+
+def test_patchify_positions_row_major():
+    pos = np.asarray(patchify_positions(2, 3))
+    want = [[0, 0], [0, 1], [0, 2], [1, 0], [1, 1], [1, 2]]
+    np.testing.assert_array_equal(pos, want)
+
+
+def test_unpatchify_roundtrip(rng):
+    b, h, w, c, p = 2, 32, 48, 7, 16
+    img = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    tokens = patchify_image(jnp.asarray(img), p)
+    assert tokens.shape == (b, (h // p) * (w // p), p * p * c)
+    back = unpatchify(tokens, p, (h, w))
+    np.testing.assert_array_equal(np.asarray(back), img)
+
+
+def test_unpatchify_channel_major_layout():
+    """Feature index k = c*P*P + i*P + j (torch pixel_shuffle order)."""
+    p, c = 2, 3
+    tok = np.zeros((1, 1, p * p * c), np.float32)
+    tok[0, 0, 1 * p * p + 1 * p + 0] = 5.0  # c=1, i=1, j=0
+    img = np.asarray(unpatchify(jnp.asarray(tok), p, (p, p)))
+    assert img[0, 1, 0, 1] == 5.0
+    assert img.sum() == 5.0
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+def test_self_attention_chunked_matches_reference(rng):
+    b, n, h, dh = 2, 100, 4, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+               for _ in range(3))
+    want = attention_reference(q, k, v)
+    got = _sa_chunked(q, k, v, chunk=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_self_attention_pallas_interpret_matches(rng):
+    b, n, h, dh = 1, 96, 2, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((b, n, h, dh)), jnp.float32)
+               for _ in range(3))
+    want = attention_reference(q, k, v)
+    got = _sa_pallas(q, k, v, block_q=32, block_k=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def _ca_reference(q, k, v, labels, q_self, q_upper, extra=None):
+    """Dense-mask ground truth for the label-masked CA."""
+    b, g, n, h, dh = q.shape
+    s = k.shape[2]
+    allow = ((labels[:, None, :] >= 0)
+             & (labels[:, None, :] != q_self[..., None])
+             & (labels[:, None, :] < q_upper[..., None]))  # [B,G,S]
+    if extra is not None:
+        allow = allow & ~extra
+    outs = []
+    for gi in range(g):
+        kg = k.transpose(0, 2, 1, 3)  # B,S,H,Dh
+        vg = v.transpose(0, 2, 1, 3)
+        mask = allow[:, gi][:, None, :]  # B,1,S -> broadcast over queries
+        outs.append(attention_reference(q[:, gi], kg, vg,
+                                        mask=jnp.broadcast_to(mask, (b, n, s))))
+    return jnp.stack(outs, axis=1)
+
+
+def test_memory_ca_chunked_matches_dense(rng):
+    b, g, n, h, dh, s = 2, 3, 10, 2, 16, 50
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    labels = jnp.asarray(rng.integers(-1, 5, size=(b, s)), jnp.int32)
+    q_self = jnp.asarray(rng.integers(0, 5, size=(b, g)), jnp.int32)
+    q_upper = jnp.asarray(rng.integers(1, 6, size=(b, g)), jnp.int32)
+    want = _ca_reference(q, k, v, labels, q_self, q_upper)
+    got = _ca_chunked(q, k, v, labels, q_self, q_upper, chunk=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_memory_ca_extra_mask(rng):
+    b, g, n, h, dh, s = 1, 2, 6, 2, 8, 24
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 3, size=(b, s)), jnp.int32)
+    q_self = jnp.full((b, g), -2, jnp.int32)
+    q_upper = jnp.full((b, g), INT32_MAX, jnp.int32)
+    extra = jnp.asarray(rng.random((b, g, s)) < 0.3)
+    want = _ca_reference(q, k, v, labels, q_self, q_upper, extra)
+    got = _ca_chunked(q, k, v, labels, q_self, q_upper, extra, chunk=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_memory_ca_pallas_interpret_matches(rng):
+    b, g, n, h, dh, s = 1, 2, 16, 2, 32, 64
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    labels = np.full((b, s), -1, np.int32)
+    labels[:, :40] = rng.integers(0, 4, size=(b, 40))
+    labels = jnp.asarray(labels)
+    q_self = jnp.asarray([[1, -2]], jnp.int32)
+    q_upper = jnp.asarray([[3, INT32_MAX]], jnp.int32)
+    want = _ca_reference(q, k, v, labels, q_self, q_upper)
+    got = _ca_pallas(q, k, v, labels, q_self, q_upper, jnp.int32(40),
+                     block_k=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_memory_ca_kv_len_skips_tail(rng):
+    """Tokens beyond kv_len must not influence the result."""
+    b, g, n, h, dh, s = 1, 1, 8, 1, 16, 32
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    labels = np.full((b, s), -1, np.int32)
+    labels[:, :16] = 0
+    labels = jnp.asarray(labels)
+    out_full = _ca_pallas(q, k, v, labels, jnp.full((b, g), -2, jnp.int32),
+                          jnp.full((b, g), INT32_MAX, jnp.int32),
+                          jnp.int32(32), block_k=16, interpret=True)
+    # corrupt the tail; with kv_len=16 result must be identical
+    k2 = k.at[:, :, 16:].set(99.0)
+    v2 = v.at[:, :, 16:].set(99.0)
+    out_len = _ca_pallas(q, k2, v2, labels, jnp.full((b, g), -2, jnp.int32),
+                         jnp.full((b, g), INT32_MAX, jnp.int32),
+                         jnp.int32(16), block_k=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_len), np.asarray(out_full),
+                               rtol=1e-6)
+
+
+def test_memory_ca_grad_flows(rng):
+    """Training path (chunked) must be differentiable."""
+    b, g, n, h, dh, s = 1, 1, 4, 1, 8, 16
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    labels = jnp.zeros((b, s), jnp.int32)
+
+    def f(q, k, v):
+        return jnp.sum(memory_cross_attention(q, k, v, labels, impl="chunked"))
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    for gr in grads:
+        assert np.isfinite(np.asarray(gr)).all()
+        assert float(jnp.abs(gr).sum()) > 0
