@@ -1,0 +1,201 @@
+"""The MUSt3R token memory as a functional, fixed-capacity pytree.
+
+The reference keeps memory as a Python list of 12 dynamically-growing
+tensors plus labels/counters (``must3r/model/decoder.py:141-147,337``) and
+edits it with concat / boolean indexing
+(``must3r/engine/inference.py:204-227``). None of that is jit-compatible.
+
+TPU-native design: one preallocated HBM buffer per state, static capacity,
+and every reference edit (append / evict-by-label / update-in-place /
+relabel) becomes a masked write at static shape:
+
+  * ``kv``      [L, B, H, S, 2*Dh]   packed per-head (k | v) cache, bf16.
+                With Dh=64 a row is 128 lanes -- one TPU vreg.
+  * ``labels``  [B, S] int32         image label per token, -1 = free slot.
+  * ``length``  int32                high-water mark; the CA kernel's KV
+                                     loop stops here, so capacity is free.
+  * ``n_imgs``, ``protected_imgs``, ``protected_tokens``  int32 counters
+    (reference memory-state tuple, ``decoder.py:141-147``).
+
+All functions are pure; under ``jit`` with ``donate_argnums`` the updates
+happen in-place in HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class MemoryState:
+    kv: jax.Array               # [L, B, H, S, 2*Dh]
+    labels: jax.Array           # [B, S] int32; -1 = free
+    length: jax.Array           # [] int32 high-water mark
+    n_imgs: jax.Array           # [] int32 images ever committed
+    protected_imgs: jax.Array   # [] int32
+    protected_tokens: jax.Array  # [] int32
+
+    @property
+    def capacity(self) -> int:
+        return self.kv.shape[3]
+
+    @property
+    def depth(self) -> int:
+        return self.kv.shape[0]
+
+
+def round_capacity(n_tokens: int, multiple: int = 512) -> int:
+    """Round a capacity up to the CA kernel's block size."""
+    return -(-n_tokens // multiple) * multiple
+
+
+def init_memory(depth: int, batch: int, num_heads: int, head_dim: int,
+                capacity: int, dtype=jnp.bfloat16) -> MemoryState:
+    """Fresh empty memory (reference `_get_empty_memory`, decoder.py:141-147)."""
+    return MemoryState(
+        kv=jnp.zeros((depth, batch, num_heads, capacity, 2 * head_dim), dtype),
+        labels=jnp.full((batch, capacity), -1, jnp.int32),
+        length=jnp.int32(0),
+        n_imgs=jnp.int32(0),
+        protected_imgs=jnp.int32(0),
+        protected_tokens=jnp.int32(0),
+    )
+
+
+def append_tokens(mem: MemoryState, new_kv: jax.Array,
+                  new_labels: jax.Array) -> MemoryState:
+    """Append G*N tokens at the high-water mark.
+
+    Args:
+      new_kv: [L, B, H, T, 2*Dh] prepared tokens (T = G*N).
+      new_labels: [B, T] int32 labels for the new tokens.
+
+    Mirrors the reference's per-layer ``torch.concatenate`` grow
+    (decoder.py:306,330) as one dynamic-update-slice at static shape.
+    """
+    t = new_kv.shape[3]
+    kv = jax.lax.dynamic_update_slice(
+        mem.kv, new_kv.astype(mem.kv.dtype), (0, 0, 0, mem.length, 0))
+    labels = jax.vmap(
+        lambda lab, new: jax.lax.dynamic_update_slice(lab, new, (mem.length,))
+    )(mem.labels, new_labels.astype(jnp.int32))
+    return MemoryState(kv=kv, labels=labels, length=mem.length + t,
+                       n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
+                       protected_tokens=mem.protected_tokens)
+
+
+def write_tokens_at(mem: MemoryState, new_kv: jax.Array, offset) -> MemoryState:
+    """Overwrite the KV values of tokens starting at ``offset`` (labels,
+    length, counters unchanged). Used by the feedback rewrite and by
+    refinement passes."""
+    kv = jax.lax.dynamic_update_slice(
+        mem.kv, new_kv.astype(mem.kv.dtype), (0, 0, 0, offset, 0))
+    return MemoryState(kv=kv, labels=mem.labels, length=mem.length,
+                       n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
+                       protected_tokens=mem.protected_tokens)
+
+
+def commit_images(mem: MemoryState, n_new_imgs: int,
+                  tokens_per_img: int = 0,
+                  protected_limit=None) -> MemoryState:
+    """Advance the image counter after an update step; optionally grow the
+    protected prefix (reference decoder.py:455-459)."""
+    n_imgs = mem.n_imgs + jnp.int32(n_new_imgs)
+    if protected_limit is None:
+        # inference semantics: everything committed is protected
+        # (decoder.py:251,337: protected_imgs = mem_nimgs)
+        protected_imgs = n_imgs
+        protected_tokens = mem.length
+    else:
+        new_prot = jnp.minimum(jnp.int32(protected_limit),
+                               mem.protected_imgs + jnp.int32(n_new_imgs))
+        grow = new_prot - mem.protected_imgs
+        protected_tokens = (mem.protected_tokens
+                            + grow * jnp.int32(tokens_per_img))
+        protected_imgs = new_prot
+    return MemoryState(kv=mem.kv, labels=mem.labels, length=mem.length,
+                       n_imgs=n_imgs, protected_imgs=protected_imgs,
+                       protected_tokens=protected_tokens)
+
+
+def evict_label(mem: MemoryState, label) -> MemoryState:
+    """Invalidate all tokens of one image (reference `_remove_from_mem`,
+    inference.py:204-212). The slots become holes (label -1): the CA kernel
+    masks them; ``compact`` reclaims them."""
+    labels = jnp.where(mem.labels == jnp.int32(label), -1, mem.labels)
+    return MemoryState(kv=mem.kv, labels=labels, length=mem.length,
+                       n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
+                       protected_tokens=mem.protected_tokens)
+
+
+def relabel(mem: MemoryState, old_label, new_label) -> MemoryState:
+    """Rename an image's tokens (reference `_restore_label_in_mem`,
+    inference.py:215-218)."""
+    labels = jnp.where(mem.labels == jnp.int32(old_label),
+                       jnp.int32(new_label), mem.labels)
+    return MemoryState(kv=mem.kv, labels=labels, length=mem.length,
+                       n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
+                       protected_tokens=mem.protected_tokens)
+
+
+def update_label_tokens(mem: MemoryState, label, new_kv: jax.Array,
+                        new_labels_row: jax.Array) -> MemoryState:
+    """Replace the KV values of every token carrying ``label`` with new
+    values, in storage order (reference `_update_in_mem`,
+    inference.py:412-443: refinement passes overwrite a seen image's tokens).
+
+    Args:
+      new_kv: [L, B, H, T, 2*Dh] replacement tokens for this image
+        (T = tokens per image).
+      new_labels_row: [B, T] labels the replacements carry (== label).
+
+    Implementation: the image's tokens were appended contiguously, so the
+    slot range is [start, start+T) where start = argmax(labels == label).
+    """
+    del new_labels_row
+    hit = (mem.labels == jnp.int32(label))
+    start = jnp.argmax(hit[0]).astype(jnp.int32)
+    kv = jax.lax.dynamic_update_slice(
+        mem.kv, new_kv.astype(mem.kv.dtype), (0, 0, 0, start, 0))
+    # only apply if the label exists; otherwise keep as-is
+    exists = jnp.any(hit)
+    kv = jnp.where(exists, kv, mem.kv)
+    return MemoryState(kv=kv, labels=mem.labels, length=mem.length,
+                       n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
+                       protected_tokens=mem.protected_tokens)
+
+
+def compact(mem: MemoryState) -> MemoryState:
+    """Pack live tokens to the front, reclaiming evicted holes.
+
+    O(S log S) host-free gather; call occasionally (e.g. when holes exceed
+    25% of length) -- the label masks keep results identical either way.
+    """
+    live = mem.labels >= 0                                   # [B, S]
+    order = jnp.argsort(~live[0], stable=True)               # live first
+    labels = jnp.take(mem.labels, order, axis=1)
+    kv = jnp.take(mem.kv, order, axis=3)
+    new_len = jnp.sum(live[0]).astype(jnp.int32)
+    return MemoryState(kv=kv, labels=labels, length=new_len,
+                       n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
+                       protected_tokens=jnp.minimum(mem.protected_tokens,
+                                                    new_len))
+
+
+def truncate(mem: MemoryState, length) -> MemoryState:
+    """Roll back to an earlier high-water mark (drop the tokens appended
+    after it). The SLAM tentative-update-then-maybe-discard pattern
+    (slam/model.py:499-527) becomes: run update, keep either the new state
+    or ``truncate`` -- no recompute."""
+    keep = jax.lax.broadcasted_iota(jnp.int32, mem.labels.shape, 1) < length
+    labels = jnp.where(keep, mem.labels, -1)
+    return MemoryState(kv=mem.kv, labels=labels, length=jnp.int32(length),
+                       n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
+                       protected_tokens=jnp.minimum(mem.protected_tokens,
+                                                    jnp.int32(length)))

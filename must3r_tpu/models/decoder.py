@@ -1,0 +1,282 @@
+"""MUSt3R memory decoder as pure functions over a fixed-capacity memory.
+
+Parity target: reference `must3r/model/decoder.py` (`MUSt3R` inference
+semantics and `CausalMUSt3R` training semantics). Key behavioral contracts
+reproduced here (all verified against the reference source):
+
+  * Layer l's new memory tokens are the activations *entering* layer l
+    (decoder.py:304-306): `prepare_y(x)` is appended before the block runs.
+  * During the step's own attention, memory holds `prepare_y(raw)`;
+    afterwards, the feedback offset (an MLP of the LAST layer's raw new
+    tokens) is added to every EARLIER layer's raw tokens and `prepare_y`
+    re-runs for storage (decoder.py:323-330, feedback_mechanism.py:39-53).
+  * `image2_embed` is added to every image except image 0 of a fresh
+    memory (decoder.py:280-287).
+  * Update masking: an image never attends its own tokens, except a
+    single-image initialization (decoder.py:293-298). Causal training
+    restricts to strictly-earlier labels, with the init exception that
+    image 0 may attend itself and image 1 (decoder.py:394-400).
+  * Render: memory is read-only; no masks beyond slot validity
+    (decoder.py:215-216,253).
+
+TPU-first: the reference's dynamic concat/boolean-mask memory becomes
+masked writes into the preallocated `MemoryState` (see memory.py); the
+12 blocks run under `lax.scan` with the memory buffer as loop carry so XLA
+updates it in place in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from must3r_tpu.config import DecoderConfig, FeedbackType
+from must3r_tpu.memory import INT32_MAX, MemoryState, commit_images
+from must3r_tpu.models.layers import (
+    decoder_block,
+    init_decoder_block,
+    init_layer_norm,
+    init_linear,
+    init_mlp,
+    layer_norm,
+    linear,
+    mlp,
+    prepare_kv,
+)
+from must3r_tpu.ops.patch import unpatchify
+from must3r_tpu.ops.rope import make_rope_tables
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+def init_decoder(key, cfg: DecoderConfig):
+    ks = jax.random.split(key, 5)
+    blocks = [init_decoder_block(k, cfg.embed_dim, cfg.num_heads,
+                                 cfg.mlp_ratio)
+              for k in jax.random.split(ks[0], cfg.depth)]
+    blocks = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    params = {
+        "feat_embed": init_linear(ks[1], cfg.enc_embed_dim, cfg.embed_dim),
+        "image2_embed": 0.02 * jax.random.normal(
+            ks[2], (cfg.embed_dim,), jnp.float32),
+        "blocks": blocks,
+        "norm_dec": init_layer_norm(cfg.embed_dim),
+        "head_proj": init_linear(ks[3], cfg.embed_dim, cfg.output_dim),
+    }
+    if cfg.feedback == FeedbackType.SINGLE_MLP:
+        # zero-init output so feedback starts inactive (reference :26-36)
+        params["feedback_norm"] = init_layer_norm(cfg.embed_dim)
+        params["feedback"] = init_mlp(ks[4], cfg.embed_dim,
+                                      4 * cfg.embed_dim, zero_out=True)
+    elif cfg.feedback == FeedbackType.SINGLE_LINEAR:
+        params["feedback_norm"] = init_layer_norm(cfg.embed_dim)
+        params["feedback"] = init_linear(ks[4], cfg.embed_dim, cfg.embed_dim,
+                                         zero=True)
+    return params
+
+
+def _block_slice(blocks, sl):
+    return jax.tree.map(lambda a: a[sl], blocks)
+
+
+# ---------------------------------------------------------------------------
+# Shared pieces
+# ---------------------------------------------------------------------------
+
+def _embed(params, cfg: DecoderConfig, x_enc, n_imgs, is_update: bool,
+           dtype):
+    """Project encoder tokens to decoder width and add image2_embed
+    per the reference's first-image rule."""
+    b, g, n, _ = x_enc.shape
+    x = linear(params["feat_embed"], x_enc.astype(dtype))
+    gidx = jnp.arange(g)
+    if is_update:
+        # at init (n_imgs==0) image 0 gets no image2_embed
+        add = jnp.where((n_imgs == 0) & (gidx == 0), 0.0, 1.0)
+    else:
+        add = jnp.ones((g,), jnp.float32)
+    emb = params["image2_embed"].astype(dtype)
+    return x + emb * add[None, :, None, None].astype(dtype)
+
+
+def _rope(cfg: DecoderConfig, pos):
+    return make_rope_tables(pos, cfg.head_dim, base=cfg.rope.base,
+                            f0=cfg.rope.f0, dtype=jnp.float32)
+
+
+def _update_masks(cfg, n_imgs, g: int, causal: bool):
+    """Per-image (q_self, q_upper) vectors encoding the reference's update
+    attention rules -- see module docstring."""
+    gidx = jnp.arange(g, dtype=jnp.int32)
+    own = n_imgs.astype(jnp.int32) + gidx                  # [G]
+    is_init = n_imgs == 0
+    if not causal:
+        no_mask = is_init & (g == 1)
+        q_self = jnp.where(no_mask, -2, own)
+        q_upper = jnp.full((g,), INT32_MAX, jnp.int32)
+    else:
+        q_self = own
+        q_upper = own
+        if g > 1:
+            # init exception: image 0 attends itself and image 1
+            first = is_init & (gidx == 0)
+            q_self = jnp.where(first, -2, q_self)
+            q_upper = jnp.where(first, 2, q_upper)
+        else:
+            no_mask = is_init
+            q_self = jnp.where(no_mask, -2, q_self)
+            q_upper = jnp.where(no_mask, INT32_MAX, q_upper)
+    return q_self, q_upper
+
+
+# ---------------------------------------------------------------------------
+# Update (memory write) forward
+# ---------------------------------------------------------------------------
+
+def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
+                   causal: Optional[bool] = None, extra_mask=None,
+                   dtype=jnp.bfloat16,
+                   impl: Optional[str] = None) -> Tuple[MemoryState, jax.Array]:
+    """One memory-update step over G images.
+
+    Args:
+      mem: current MemoryState (donate for in-place HBM update).
+      x_enc: [B, G, N, Denc] encoder tokens.
+      pos: [B, G, N, 2] patch positions.
+      causal: label-causal training semantics (CausalMUSt3R); defaults to
+        cfg.causal.
+      extra_mask: optional bool [B, G, S] dropout mask (True = blocked).
+
+    Returns:
+      (new MemoryState, final-layer tokens [B, G, N, D] pre-head).
+    """
+    causal = cfg.causal if causal is None else causal
+    b, g, n, _ = x_enc.shape
+    depth = cfg.depth
+    x = _embed(params, cfg, x_enc, mem.n_imgs, True, dtype)
+    rope = _rope(cfg, pos)
+
+    start = mem.length
+    t_new = g * n
+    kv_len = start + t_new
+
+    # labels for the new tokens, appended up-front so the in-step attention
+    # sees them (reference concatenates old+new memory per layer)
+    gidx = jnp.arange(g, dtype=jnp.int32)
+    new_labels = jnp.broadcast_to(
+        (mem.n_imgs.astype(jnp.int32) + gidx)[:, None], (g, n)).reshape(-1)
+    new_labels = jnp.broadcast_to(new_labels[None], (b, t_new))
+    labels = jax.vmap(
+        lambda lab, nl: jax.lax.dynamic_update_slice(lab, nl, (start,)))(
+        mem.labels, new_labels)
+
+    q_self, q_upper = _update_masks(cfg, mem.n_imgs, g, causal)
+    q_self = jnp.broadcast_to(q_self[None], (b, g))
+    q_upper = jnp.broadcast_to(q_upper[None], (b, g))
+
+    def body(carry, inp):
+        x, kv_buf = carry
+        blk, li = inp
+        raw = x.reshape(b, t_new, cfg.embed_dim)
+        new_kv = prepare_kv(blk, raw, cfg.num_heads, cfg.ln_eps)
+        kv_buf = jax.lax.dynamic_update_slice(
+            kv_buf, new_kv[None].astype(kv_buf.dtype), (li, 0, 0, start, 0))
+        x = decoder_block(blk, x, kv_buf, rope, labels, q_self=q_self,
+                          q_upper=q_upper, kv_len=kv_len,
+                          extra_mask=extra_mask, layer=li,
+                          num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
+                          impl=impl)
+        return (x, kv_buf), raw
+
+    (x, kv_buf), raws = jax.lax.scan(
+        body, (x, mem.kv), (params["blocks"], jnp.arange(depth)))
+
+    if cfg.feedback != FeedbackType.NONE and "feedback" in params:
+        offset = _feedback_offset(params, cfg, raws[-1])
+        adj = raws[:-1] + offset[None]
+        new_kv = jax.vmap(
+            lambda blk, r: prepare_kv(blk, r, cfg.num_heads, cfg.ln_eps))(
+            _block_slice(params["blocks"], slice(0, depth - 1)), adj)
+        kv_buf = jax.lax.dynamic_update_slice(
+            kv_buf, new_kv.astype(kv_buf.dtype), (0, 0, 0, start, 0))
+
+    new_mem = MemoryState(kv=kv_buf, labels=labels, length=kv_len,
+                          n_imgs=mem.n_imgs,
+                          protected_imgs=mem.protected_imgs,
+                          protected_tokens=mem.protected_tokens)
+    new_mem = commit_images(
+        new_mem, g, tokens_per_img=n,
+        protected_limit=cfg.protected_imgs if causal else None)
+    return new_mem, x
+
+
+def _feedback_offset(params, cfg: DecoderConfig, raw_last):
+    """offset = feedback(LN(last layer's raw new tokens))."""
+    h = layer_norm(params["feedback_norm"], raw_last, cfg.ln_eps)
+    if cfg.feedback == FeedbackType.SINGLE_MLP:
+        return mlp(params["feedback"], h)
+    return linear(params["feedback"], h)
+
+
+# ---------------------------------------------------------------------------
+# Render (read-only) forward
+# ---------------------------------------------------------------------------
+
+def decoder_render(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
+                   extra_mask=None, dtype=jnp.bfloat16,
+                   impl: Optional[str] = None) -> jax.Array:
+    """Pure prediction against a frozen memory (reference render=True).
+
+    Returns final-layer tokens [B, G, N, D] (pre-head).
+    """
+    b, g, n, _ = x_enc.shape
+    x = _embed(params, cfg, x_enc, mem.n_imgs, False, dtype)
+    rope = _rope(cfg, pos)
+
+    def body(x, inp):
+        blk, li = inp
+        x = decoder_block(blk, x, mem.kv, rope, mem.labels,
+                          kv_len=mem.length, extra_mask=extra_mask, layer=li,
+                          num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
+                          impl=impl)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (params["blocks"], jnp.arange(cfg.depth)))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Prediction head
+# ---------------------------------------------------------------------------
+
+def decoder_head(params, cfg: DecoderConfig, tokens, img_hw: Tuple[int, int],
+                 portrait_mask=None) -> jax.Array:
+    """LinearHead in an fp32 island (reference decoder.py:149-156):
+    norm_dec -> Linear(D, P*P*C) -> pixel-shuffle unpatchify.
+
+    Args:
+      tokens: [B, G, N, D] final-layer decoder tokens.
+      img_hw: static landscape (H, W) of this bucket.
+      portrait_mask: optional bool [B, G]; True views were stored transposed
+        and their prediction is computed in portrait then transposed back
+        (reference head.py:24-60).
+
+    Returns: [B, G, H, W, C] raw head output (activation applied in
+    postprocess, reference engine/inference.py:16-27).
+    """
+    b, g, n, _ = tokens.shape
+    h, w = img_hw
+    t = layer_norm(params["norm_dec"], tokens.astype(jnp.float32),
+                   cfg.ln_eps)
+    xf = linear(params["head_proj"], t).reshape(b * g, n, cfg.output_dim)
+    land = unpatchify(xf, cfg.patch_size, (h, w))
+    if portrait_mask is not None and h != w:
+        port = unpatchify(xf, cfg.patch_size, (w, h)).transpose(0, 2, 1, 3)
+        sel = portrait_mask.reshape(b * g)[:, None, None, None]
+        land = jnp.where(sel, port, land)
+    c = land.shape[-1]
+    return land.reshape(b, g, h, w, c)

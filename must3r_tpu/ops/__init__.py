@@ -6,6 +6,7 @@ from must3r_tpu.ops.geometry import (  # noqa: F401
 )
 from must3r_tpu.ops.patch import patchify_positions, unpatchify  # noqa: F401
 from must3r_tpu.ops.attention import (  # noqa: F401
-    self_attention,
     memory_cross_attention,
+    pack_kv,
+    self_attention,
 )

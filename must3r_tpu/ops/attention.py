@@ -201,14 +201,26 @@ def _sa_pallas(q, k, v, block_q: int = 512, block_k: int = 512,
 # Memory cross-attention
 # ---------------------------------------------------------------------------
 
-def memory_cross_attention(q, k, v, labels, q_self=None, q_upper=None,
-                           kv_len=None, extra_mask=None,
+def pack_kv(k, v):
+    """[B, H, S, Dh] x2 -> packed [B, H, S, 2*Dh] (concat along features).
+
+    With Dh=64 a packed row is exactly 128 lanes -- one TPU vreg -- and the
+    CA kernel DMAs a single contiguous stream instead of two."""
+    return jnp.concatenate([k, v], axis=-1)
+
+
+def memory_cross_attention(q, kv, labels, q_self=None, q_upper=None,
+                           kv_len=None, extra_mask=None, layer=None,
                            impl: Optional[str] = None):
     """Label-masked flash cross-attention against the token memory.
 
     Args:
       q: [B, G, N, H, Dh] queries (G = images in this step).
-      k, v: [B, H, S, Dh] memory keys/values (S = static capacity).
+      kv: [B, H, S, 2*Dh] packed memory keys|values (S = static capacity),
+        or -- with ``layer`` given -- the full per-layer cache
+        [L, B, H, S, 2*Dh]. Passing the full cache lets the Pallas kernel
+        DMA directly out of the persistent HBM buffer instead of forcing
+        XLA to materialize a per-layer slice copy.
       labels: [B, S] int32 image label per memory token; -1 = invalid slot.
       q_self: [B, G] int32; memory tokens with this label are masked
         (self-exclusion). Use -2 to disable.
@@ -217,11 +229,18 @@ def memory_cross_attention(q, k, v, labels, q_self=None, q_upper=None,
       kv_len: scalar int32 high-water mark of the memory; compute beyond it
         is skipped (labels there must be -1). Defaults to S.
       extra_mask: optional bool [B, G, S]; True = blocked (token dropout).
+      layer: optional scalar int32 indexing the L axis of a 5D ``kv``.
 
     Returns: [B, G, N, H, Dh].
     """
     b, g, n, h, dh = q.shape
-    s_cap = k.shape[2]
+    if layer is None:
+        kv5 = kv[None]
+        layer = jnp.int32(0)
+    else:
+        kv5 = kv
+        layer = jnp.asarray(layer, jnp.int32)
+    s_cap = kv5.shape[3]
     if q_self is None:
         q_self = jnp.full((b, g), -2, jnp.int32)
     if q_upper is None:
@@ -230,7 +249,9 @@ def memory_cross_attention(q, k, v, labels, q_self=None, q_upper=None,
         kv_len = jnp.int32(s_cap)
     impl = impl or _default_impl()
     if impl == "pallas" and extra_mask is None:
-        return _ca_pallas(q, k, v, labels, q_self, q_upper, kv_len)
+        return _ca_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer)
+    k, v = jnp.split(jax.lax.dynamic_index_in_dim(kv5, layer, 0, False),
+                     2, axis=-1)
     return _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask)
 
 
@@ -289,18 +310,28 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
     return out.transpose(0, 1, 3, 2, 4).astype(q.dtype)
 
 
-def _ca_pallas(q, k, v, labels, q_self, q_upper, kv_len,
+def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
                block_k: int = 512, interpret: bool = False):
-    """Flash CA kernel: KV stays in HBM; blocks are DMA'd with double
-    buffering; the KV loop bound is the *dynamic* fill level of the cache,
-    so a fixed-capacity memory costs no compute or bandwidth beyond its
-    live tokens. Masking is computed in-kernel from token labels.
+    """Flash CA kernel over the packed KV cache.
+
+    The cache stays in HBM; (k|v) blocks are DMA'd as one contiguous stream
+    with double buffering. The KV loop bound is the *dynamic* fill level of
+    the cache, so a fixed-capacity memory costs no compute or bandwidth
+    beyond its live tokens. Masking is computed in-kernel from token labels.
+
+    ``kv`` is the full per-layer cache [L, B, H, S, 2*Dh]; ``layer`` selects
+    the L row in-kernel (zero-copy read of the persistent buffer).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, g, n, h, dh = q.shape
-    s_cap = k.shape[2]
+    if kv.ndim == 4:
+        kv = kv[None]
+    if layer is None:
+        layer = jnp.int32(0)
+    s_cap = kv.shape[3]
+    assert kv.shape[1:] == (b, h, s_cap, 2 * dh), kv.shape
     bk = min(block_k, s_cap)
     assert s_cap % bk == 0, (
         f"memory capacity {s_cap} must be a multiple of block_k={bk}; "
@@ -308,41 +339,37 @@ def _ca_pallas(q, k, v, labels, q_self, q_upper, kv_len,
     scale = 1.0 / math.sqrt(dh)
 
     qt = q.transpose(0, 1, 3, 2, 4)  # B,G,H,N,Dh
-    kv_len = jnp.asarray(kv_len, jnp.int32).reshape(1)
+    len_and_layer = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
+                               jnp.asarray(layer, jnp.int32).reshape(())])
     q_self = q_self.astype(jnp.int32)
     q_upper = q_upper.astype(jnp.int32)
 
     def kernel(len_ref, qself_ref, qupper_ref,       # scalar prefetch
-               q_ref, k_hbm, v_hbm, lbl_hbm,          # inputs
+               q_ref, kv_hbm, lbl_hbm,               # inputs
                o_ref,                                 # output
-               k_buf, v_buf, lbl_buf, sem):           # scratch
+               kv_buf, lbl_buf, sem):                 # scratch
         bi = pl.program_id(0)
         gi = pl.program_id(1)
         hi = pl.program_id(2)
         length = len_ref[0]
+        li = len_ref[1]
         n_blocks = jnp.maximum(pl.cdiv(length, bk), 1)
         qs = qself_ref[bi, gi]
         qu = qupper_ref[bi, gi]
         qb = q_ref[0, 0, 0].astype(jnp.float32) * scale  # (N, Dh)
 
-        def dma_k(slot, idx):
+        def dma_kv(slot, idx):
             return pltpu.make_async_copy(
-                k_hbm.at[bi, hi, pl.ds(idx * bk, bk), :], k_buf.at[slot],
+                kv_hbm.at[li, bi, hi, pl.ds(idx * bk, bk), :], kv_buf.at[slot],
                 sem.at[slot, 0])
-
-        def dma_v(slot, idx):
-            return pltpu.make_async_copy(
-                v_hbm.at[bi, hi, pl.ds(idx * bk, bk), :], v_buf.at[slot],
-                sem.at[slot, 1])
 
         def dma_l(slot, idx):
             return pltpu.make_async_copy(
                 lbl_hbm.at[bi, pl.ds(idx * bk, bk)], lbl_buf.at[slot, 0],
-                sem.at[slot, 2])
+                sem.at[slot, 1])
 
         def start(slot, idx):
-            dma_k(slot, idx).start()
-            dma_v(slot, idx).start()
+            dma_kv(slot, idx).start()
             dma_l(slot, idx).start()
 
         start(0, 0)
@@ -355,12 +382,11 @@ def _ca_pallas(q, k, v, labels, q_self, q_upper, kv_len,
             def _():
                 start(jax.lax.rem(i + 1, 2), i + 1)
 
-            dma_k(slot, i).wait()
-            dma_v(slot, i).wait()
+            dma_kv(slot, i).wait()
             dma_l(slot, i).wait()
 
-            kb = k_buf[slot].astype(jnp.float32)          # (bk, Dh)
-            vb = v_buf[slot].astype(jnp.float32)
+            kb = kv_buf[slot, :, :dh].astype(jnp.float32)  # (bk, Dh)
+            vb = kv_buf[slot, :, dh:].astype(jnp.float32)
             lbl = lbl_buf[slot]                            # (1, bk)
             s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
@@ -387,15 +413,13 @@ def _ca_pallas(q, k, v, labels, q_self, q_upper, kv_len,
                          lambda bi, gi, hi, *_: (bi, gi, hi, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, n, dh),
                                lambda bi, gi, hi, *_: (bi, gi, hi, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, bk, dh), k.dtype),
-            pltpu.VMEM((2, bk, dh), v.dtype),
+            pltpu.VMEM((2, bk, 2 * dh), kv.dtype),
             pltpu.VMEM((2, 1, bk), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     out = pl.pallas_call(
@@ -406,5 +430,5 @@ def _ca_pallas(q, k, v, labels, q_self, q_upper, kv_len,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(kv_len, q_self, q_upper, qt, k, v, labels)
+    )(len_and_layer, q_self, q_upper, qt, kv, labels)
     return out.transpose(0, 1, 3, 2, 4)

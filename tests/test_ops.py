@@ -21,6 +21,7 @@ from must3r_tpu.ops.attention import (
     INT32_MAX,
     _ca_chunked,
     _ca_pallas,
+    pack_kv,
     _sa_chunked,
     _sa_pallas,
     attention_reference,
@@ -216,7 +217,7 @@ def test_memory_ca_pallas_interpret_matches(rng):
     q_self = jnp.asarray([[1, -2]], jnp.int32)
     q_upper = jnp.asarray([[3, INT32_MAX]], jnp.int32)
     want = _ca_reference(q, k, v, labels, q_self, q_upper)
-    got = _ca_pallas(q, k, v, labels, q_self, q_upper, jnp.int32(40),
+    got = _ca_pallas(q, pack_kv(k, v), labels, q_self, q_upper, jnp.int32(40),
                      block_k=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
@@ -231,13 +232,15 @@ def test_memory_ca_kv_len_skips_tail(rng):
     labels = np.full((b, s), -1, np.int32)
     labels[:, :16] = 0
     labels = jnp.asarray(labels)
-    out_full = _ca_pallas(q, k, v, labels, jnp.full((b, g), -2, jnp.int32),
+    out_full = _ca_pallas(q, pack_kv(k, v), labels,
+                          jnp.full((b, g), -2, jnp.int32),
                           jnp.full((b, g), INT32_MAX, jnp.int32),
                           jnp.int32(32), block_k=16, interpret=True)
     # corrupt the tail; with kv_len=16 result must be identical
     k2 = k.at[:, :, 16:].set(99.0)
     v2 = v.at[:, :, 16:].set(99.0)
-    out_len = _ca_pallas(q, k2, v2, labels, jnp.full((b, g), -2, jnp.int32),
+    out_len = _ca_pallas(q, pack_kv(k2, v2), labels,
+                         jnp.full((b, g), -2, jnp.int32),
                          jnp.full((b, g), INT32_MAX, jnp.int32),
                          jnp.int32(16), block_k=16, interpret=True)
     np.testing.assert_allclose(np.asarray(out_len), np.asarray(out_full),
@@ -253,7 +256,8 @@ def test_memory_ca_grad_flows(rng):
     labels = jnp.zeros((b, s), jnp.int32)
 
     def f(q, k, v):
-        return jnp.sum(memory_cross_attention(q, k, v, labels, impl="chunked"))
+        return jnp.sum(memory_cross_attention(q, pack_kv(k, v), labels,
+                                              impl="chunked"))
 
     grads = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
     for gr in grads:
