@@ -1,0 +1,289 @@
+"""Inference engine: jitted step functions + host-side orchestration.
+
+Parity target: reference `must3r/engine/inference.py` --
+  * `postprocess` (:16-47): channel split, norm-exp activation, conf,
+    Weiszfeld focal, weighted Procrustes c2w. Runs fp32.
+  * `inference_multi_ar` (:368-526): memory-update loop over `mem_batches`,
+    optional refinement iterations (in-place token refresh), then a
+    read-only render phase over all views.
+  * `encoder_multi_ar` (:138-164): encode all views in bounded batches.
+
+TPU-native differences: steps are jitted with **donated memory** so the KV
+cache updates in place in HBM; batches are padded to a small set of static
+shapes instead of dynamically sized; aspect-ratio buckets each get their own
+compiled executable (host routes views to buckets).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from must3r_tpu.config import ActivationType, DecoderConfig, EncoderConfig
+from must3r_tpu.memory import MemoryState, init_memory, round_capacity
+from must3r_tpu.models.decoder import (
+    decoder_head,
+    decoder_refine,
+    decoder_render,
+    decoder_update,
+)
+from must3r_tpu.models.encoder import encoder_forward
+from must3r_tpu.ops.geometry import apply_exp_to_norm
+from must3r_tpu.ops.patch import patchify_positions
+from must3r_tpu.ops.pose import (
+    estimate_focal_weiszfeld,
+    make_c2w,
+    rigid_points_registration,
+)
+
+
+# ---------------------------------------------------------------------------
+# Postprocess (reference inference.py:16-47)
+# ---------------------------------------------------------------------------
+
+def postprocess(pointmaps, activation: ActivationType = ActivationType.NORM_EXP,
+                compute_cam: bool = False):
+    """Split the 7-channel head output into calibrated quantities.
+
+    Args:
+      pointmaps: [..., H, W, C] raw head output (C in {3, 4, 6, 7}).
+    Returns dict with 'pts3d' (global), 'pts3d_local', 'conf', and with
+    compute_cam also 'focal' and 'c2w' (confidence-weighted Procrustes
+    local->global).
+    """
+    pm = pointmaps.astype(jnp.float32)
+    channels = pm.shape[-1]
+
+    def act(x):
+        if activation == ActivationType.NORM_EXP:
+            return apply_exp_to_norm(x)
+        return x
+
+    out = {"pts3d": act(pm[..., :3])}
+    if channels >= 6:
+        out["pts3d_local"] = act(pm[..., 3:6])
+    if channels in (4, 7):
+        out["conf"] = 1.0 + jnp.exp(pm[..., -1])
+
+    if compute_cam:
+        lead = out["pts3d"].shape[:-3]
+        h, w = pm.shape[-3:-1]
+        out["focal"] = estimate_focal_weiszfeld(
+            out["pts3d_local"].reshape(-1, h, w, 3)).reshape(lead)
+        r, t = rigid_points_registration(
+            out["pts3d_local"].reshape(*lead, -1, 3),
+            out["pts3d"].reshape(*lead, -1, 3),
+            weights=out["conf"].reshape(*lead, -1) - 1.0)
+        out["c2w"] = make_c2w(r, t)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Patch positions (dust3r ManyAR semantics: portrait views swap (y, x))
+# ---------------------------------------------------------------------------
+
+def view_positions(img_hw, patch_size: int, portrait=None, batch_shape=()):
+    """(y, x) patch coords for views stored in landscape at img_hw.
+
+    Portrait views (true H > W) are stored transposed; their token at stored
+    (r, c) sits at true (c, r), so their positions are swapped.
+
+    Args:
+      img_hw: static stored (H, W).
+      portrait: optional bool array broadcastable to batch_shape.
+    Returns: [*batch_shape, N, 2] int32.
+    """
+    hp, wp = img_hw[0] // patch_size, img_hw[1] // patch_size
+    pos = patchify_positions(hp, wp)                       # [N, 2]
+    pos = jnp.broadcast_to(pos, (*batch_shape, *pos.shape))
+    if portrait is None:
+        return pos
+    swapped = pos[..., ::-1]
+    sel = jnp.asarray(portrait)[..., None, None]
+    return jnp.where(sel, swapped, pos)
+
+
+# ---------------------------------------------------------------------------
+# Jitted core
+# ---------------------------------------------------------------------------
+
+class InferenceCore:
+    """Params + per-shape compiled step functions with donated memory.
+
+    One instance serves every aspect-ratio bucket; jax.jit caches one
+    executable per distinct input shape automatically.
+    """
+
+    def __init__(self, enc_params, dec_params, enc_cfg: EncoderConfig,
+                 dec_cfg: DecoderConfig, dtype=jnp.bfloat16,
+                 impl: Optional[str] = None):
+        self.enc_params = enc_params
+        self.dec_params = dec_params
+        self.enc_cfg = enc_cfg
+        self.dec_cfg = dec_cfg
+        self.dtype = dtype
+        self.impl = impl
+
+        self._encode = jax.jit(
+            lambda p, img, pos: encoder_forward(p, enc_cfg, img, pos,
+                                                impl=impl))
+        self._update = jax.jit(
+            lambda p, mem, x, pos: decoder_update(
+                p, dec_cfg, mem, x, pos, causal=False, dtype=dtype,
+                impl=impl),
+            donate_argnums=(1,))
+        self._refine = jax.jit(
+            lambda p, mem, x, pos, labels: decoder_refine(
+                p, dec_cfg, mem, x, pos, labels, dtype=dtype, impl=impl),
+            donate_argnums=(1,))
+        self._render = jax.jit(
+            lambda p, mem, x, pos: decoder_render(
+                p, dec_cfg, mem, x, pos, dtype=dtype, impl=impl))
+        self._head = jax.jit(
+            lambda p, toks, hw, pmask: decoder_head(p, dec_cfg, toks, hw,
+                                                    pmask),
+            static_argnums=(2,))
+
+    # -- memory ------------------------------------------------------------
+
+    def new_memory(self, max_images: int, img_hw, batch: int = 1,
+                   block: int = 512) -> MemoryState:
+        n = (img_hw[0] // self.dec_cfg.patch_size) * \
+            (img_hw[1] // self.dec_cfg.patch_size)
+        cap = round_capacity(max_images * n, block)
+        return init_memory(self.dec_cfg.depth, batch, self.dec_cfg.num_heads,
+                           self.dec_cfg.head_dim, cap, dtype=self.dtype)
+
+    # -- steps ---------------------------------------------------------------
+
+    def encode(self, imgs, positions):
+        """imgs [B, H, W, 3] -> tokens [B, N, Denc] (fp32 island)."""
+        return self._encode(self.enc_params, imgs, positions)
+
+    def encode_all(self, imgs, positions, max_bs: int = 8):
+        """Encode V views in padded chunks of max_bs (one compile)."""
+        v = imgs.shape[0]
+        outs = []
+        for i in range(0, v, max_bs):
+            chunk = imgs[i:i + max_bs]
+            cpos = positions[i:i + max_bs]
+            pad = max_bs - chunk.shape[0]
+            if pad and v > max_bs:
+                chunk = jnp.pad(chunk, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                cpos = jnp.pad(cpos, ((0, pad), (0, 0), (0, 0)))
+            toks = self.encode(chunk, cpos)
+            outs.append(toks[:max_bs - pad] if pad and v > max_bs else toks)
+        return jnp.concatenate(outs, axis=0)
+
+    def update(self, mem, x_enc, pos):
+        return self._update(self.dec_params, mem, x_enc, pos)
+
+    def refine(self, mem, x_enc, pos, labels):
+        return self._refine(self.dec_params, mem, x_enc, pos, labels)
+
+    def render(self, mem, x_enc, pos):
+        return self._render(self.dec_params, mem, x_enc, pos)
+
+    def head(self, tokens, img_hw, portrait_mask=None):
+        if portrait_mask is None:
+            portrait_mask = jnp.zeros(tokens.shape[:2], bool)
+        return self._head(self.dec_params, tokens, tuple(img_hw),
+                          portrait_mask)
+
+
+# ---------------------------------------------------------------------------
+# Offline reconstruction driver (reference inference_multi_ar)
+# ---------------------------------------------------------------------------
+
+def default_mem_batches(n_views: int, init_num_images: int = 2):
+    """Reference demo schedule: [init(2), 1, 1, ...] (demo/inference.py:188-191)."""
+    init = min(init_num_images, n_views)
+    return [init] + [1] * (n_views - init)
+
+
+def offline_reconstruction(core: InferenceCore, imgs, img_hw=None,
+                           portrait=None,
+                           mem_views: Optional[Sequence[int]] = None,
+                           init_num_images: int = 2,
+                           num_refinement_iterations: int = 0,
+                           to_render: Optional[Sequence[int]] = None,
+                           render_bs: int = 8, encode_bs: int = 8,
+                           capacity_images: Optional[int] = None,
+                           compute_cam: bool = True,
+                           return_mem: bool = False):
+    """Full offline pipeline for a single aspect-ratio bucket.
+
+    Args:
+      imgs: [V, H, W, 3] normalized images, landscape storage, presented in
+        processing order (keyframes first -- caller handles selection).
+      portrait: optional bool [V] marking transposed (portrait) views.
+      mem_views: indices of views that build the memory (default: all).
+      to_render: indices of views to predict (default: all).
+
+    Returns dict of per-view arrays: pts3d, pts3d_local, conf [V,H,W,...],
+    focal [V], c2w [V,4,4] -- matching reference postprocess keys.
+    """
+    v = imgs.shape[0]
+    img_hw = tuple(img_hw) if img_hw is not None else tuple(imgs.shape[1:3])
+    if portrait is None:
+        portrait = jnp.zeros((v,), bool)
+    portrait = jnp.asarray(portrait)
+    mem_views = list(mem_views) if mem_views is not None else list(range(v))
+    to_render = list(to_render) if to_render is not None else list(range(v))
+
+    pos = view_positions(img_hw, core.enc_cfg.patch_size, portrait,
+                         batch_shape=(v,))
+    x = core.encode_all(imgs, pos, max_bs=encode_bs)       # [V, N, Denc]
+
+    # slack for refinement passes, which append before truncating back
+    slack = init_num_images if num_refinement_iterations > 0 else 0
+    mem = core.new_memory((capacity_images or len(mem_views)) + slack, img_hw)
+
+    batches = default_mem_batches(len(mem_views), init_num_images)
+    # update phase
+    labels_of = {}
+    cursor = 0
+    for bsize in batches:
+        ids = mem_views[cursor:cursor + bsize]
+        xb = x[jnp.asarray(ids)][None]                     # [1, G, N, Denc]
+        pb = pos[jnp.asarray(ids)][None]
+        base = len(labels_of)
+        mem, _ = core.update(mem, xb, pb)
+        for j, vid in enumerate(ids):
+            labels_of[vid] = base + j
+        cursor += bsize
+
+    # refinement iterations: refresh each view's tokens against the full map
+    for _ in range(num_refinement_iterations):
+        cursor = 0
+        for bsize in batches:
+            ids = mem_views[cursor:cursor + bsize]
+            xb = x[jnp.asarray(ids)][None]
+            pb = pos[jnp.asarray(ids)][None]
+            labs = jnp.asarray([labels_of[i] for i in ids], jnp.int32)
+            mem, _ = core.refine(mem, xb, pb, labs)
+            cursor += bsize
+
+    # render phase: all requested views against the final memory
+    outs = []
+    for i in range(0, len(to_render), render_bs):
+        ids = to_render[i:i + render_bs]
+        pad = render_bs - len(ids) if len(to_render) > render_bs else 0
+        ids_p = ids + [ids[-1]] * pad
+        xb = x[jnp.asarray(ids_p)][None]
+        pb = pos[jnp.asarray(ids_p)][None]
+        toks = core.render(mem, xb, pb)
+        pm = core.head(toks, img_hw, portrait[jnp.asarray(ids_p)][None])
+        outs.append(pm[0, :len(ids)])
+    pointmaps = jnp.concatenate(outs, axis=0)              # [V, H, W, C]
+
+    result = postprocess(pointmaps, core.dec_cfg.pointmaps_activation,
+                         compute_cam=compute_cam)
+    if return_mem:
+        return result, mem
+    return result

@@ -222,6 +222,59 @@ def _feedback_offset(params, cfg: DecoderConfig, raw_last):
     return linear(params["feedback"], h)
 
 
+def decoder_refine(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
+                   old_labels, dtype=jnp.bfloat16,
+                   impl: Optional[str] = None) -> Tuple[MemoryState, jax.Array]:
+    """Refinement pass: re-run the update forward for already-seen images and
+    overwrite their original memory tokens in place (reference
+    `inference_multi_ar` refinement, engine/inference.py:425-443).
+
+    During the forward, the image attends the full memory -- including its
+    own OLD tokens (they carry a different label) -- exactly like the
+    reference. Image label 0 is never refined (reference skips the ref img).
+
+    Args:
+      old_labels: [G] int32 original labels of these images.
+
+    Returns: (memory with refreshed tokens, final-layer tokens).
+    """
+    b, g, n, _ = x_enc.shape
+    start = mem.length
+    # everything below reads only the POST-update state, so under jit with
+    # a donated memory the whole refine is in-place (no buffer copy)
+    mem2, toks = decoder_update(params, cfg, mem, x_enc, pos, causal=False,
+                                dtype=dtype, impl=impl)
+    new_kv = jax.lax.dynamic_slice(
+        mem2.kv, (0, 0, 0, start, 0),
+        (cfg.depth, b, cfg.num_heads, g * n, 2 * cfg.head_dim))
+    # labels outside the (about-to-be-truncated) extension are the originals
+    old_region = jax.lax.broadcasted_iota(
+        jnp.int32, mem2.labels.shape, 1) < start
+    orig_labels = jnp.where(old_region, mem2.labels, -1)
+    kv = mem2.kv
+    old_labels = jnp.asarray(old_labels, jnp.int32)
+    for gi in range(g):
+        lab = old_labels[gi]
+        hit = orig_labels[0] == lab
+        pos0 = jnp.argmax(hit).astype(jnp.int32)
+        blk = jax.lax.dynamic_slice(
+            new_kv, (0, 0, 0, gi * n, 0),
+            (cfg.depth, b, cfg.num_heads, n, 2 * cfg.head_dim))
+        ok = (lab > 0) & jnp.any(hit)
+        # when not refreshing, write back the existing values (cheap
+        # block-level select; never materializes a second full buffer)
+        existing = jax.lax.dynamic_slice(
+            kv, (0, 0, 0, pos0, 0),
+            (cfg.depth, b, cfg.num_heads, n, 2 * cfg.head_dim))
+        blk = jnp.where(ok, blk, existing)
+        kv = jax.lax.dynamic_update_slice(kv, blk, (0, 0, 0, pos0, 0))
+    out = MemoryState(kv=kv, labels=orig_labels, length=start,
+                      n_imgs=mem2.n_imgs - g,
+                      protected_imgs=mem2.protected_imgs - g,
+                      protected_tokens=start)
+    return out, toks
+
+
 # ---------------------------------------------------------------------------
 # Render (read-only) forward
 # ---------------------------------------------------------------------------
