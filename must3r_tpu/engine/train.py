@@ -1,0 +1,222 @@
+"""Training engine: jitted multi-view train step + optimizer factory.
+
+Parity target: reference `must3r/engine/train.py` --
+  * forward = encoder -> causal memory-update loop over `mem_batches` ->
+    render phase -> postprocess -> ConfLoss(Regr3D(L21)) over the concat of
+    first-pass and rendered pointmaps (train.py:451-469).
+  * encoder frozen unless `finetune_encoder` (train.py:461-465 parameter
+    chain); `train_decoder_skip` first batches run without gradient
+    (curriculum, inference.py:608-617).
+  * AdamW betas (0.9, 0.95), no weight decay for 1D params (bias / norms),
+    cosine schedule with warmup, lr = blr * eff_bs / 256
+    (train.py:295-318, optimizer.py).
+
+TPU-native: one jitted step; data parallelism comes from sharding the batch
+over the mesh 'dp' axis (GSPMD inserts the gradient reductions -- replaces
+DDP/NCCL). Memory token dropout is drawn with `jax.random` per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from must3r_tpu.config import DecoderConfig, EncoderConfig
+from must3r_tpu.engine.losses import conf_regr3d_loss
+from must3r_tpu.memory import init_memory, round_capacity
+from must3r_tpu.models.decoder import decoder_head, decoder_render, decoder_update
+from must3r_tpu.models.encoder import encoder_forward
+from must3r_tpu.ops.dropout import permanent_dropout_masks, temporary_dropout_mask
+from must3r_tpu.ops.geometry import apply_exp_to_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainSettings:
+    mem_batches: Tuple[int, ...] = (2, 1, 1)   # images per causal update step
+    n_render: int = 2                          # rendered views per sample
+    train_decoder_skip: int = 0                # no-grad prefix batches
+    finetune_encoder: bool = False
+    dropout_p: float = 0.0
+    dropout_mode: str = "temporary"
+    alpha: float = 0.2                         # ConfLoss alpha
+    norm_mode: str = "?avg_dis"
+    sky_loss_value: float = 2.0
+    loss_in_log: bool = False
+    capacity_block: int = 512
+    dtype: str = "bfloat16"
+
+
+def make_forward(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
+                 ts: TrainSettings, impl: Optional[str] = None):
+    """Build the differentiable multi-view forward.
+
+    batch dict:
+      'img'        [B, V, H, W, 3] normalized images
+      'pos'        [B, V, N, 2] patch positions
+      'render_ids' [R] int32 indices of views to render (R = ts.n_render)
+
+    Returns pred dict over the V_loss = (non-skipped memory views) + R views,
+    ordered first-pass-then-rendered like the reference's `concat_preds`.
+    """
+    dtype = jnp.dtype(ts.dtype)
+    n_mem = sum(ts.mem_batches)
+    n_skip = sum(ts.mem_batches[:ts.train_decoder_skip])
+
+    def forward(params, batch, rng):
+        imgs = batch["img"]
+        pos = batch["pos"]
+        b, v, h, w, _ = imgs.shape
+        n = pos.shape[2]
+
+        x = encoder_forward(params["encoder"], enc_cfg,
+                            imgs.reshape(b * v, h, w, 3),
+                            pos.reshape(b * v, n, 2), impl=impl)
+        if not ts.finetune_encoder:
+            x = jax.lax.stop_gradient(x)
+        x = x.reshape(b, v, n, -1)
+
+        cap = round_capacity(n_mem * n, ts.capacity_block)
+        mem = init_memory(dec_cfg.depth, b, dec_cfg.num_heads,
+                          dec_cfg.head_dim, cap, dtype=dtype)
+
+        toks_first = []
+        cursor = 0
+        for i, g in enumerate(ts.mem_batches):
+            xb = x[:, cursor:cursor + g]
+            pb = pos[:, cursor:cursor + g]
+            extra = None
+            if ts.dropout_p > 0.0:
+                rng, sub = jax.random.split(rng)
+                if ts.dropout_mode == "temporary":
+                    extra = temporary_dropout_mask(
+                        sub, b, g, cap, ts.dropout_p, mem.protected_tokens)
+                else:
+                    # labels including this step's tokens, as decoder_update
+                    # will write them
+                    gidx = jnp.arange(g, dtype=jnp.int32)
+                    newlab = jnp.broadcast_to(
+                        (mem.n_imgs + gidx)[:, None], (g, n)).reshape(-1)
+                    lab = jax.vmap(lambda l0: jax.lax.dynamic_update_slice(
+                        l0, newlab, (mem.length,)))(mem.labels)
+                    extra, dead = permanent_dropout_masks(
+                        sub, lab, mem.n_imgs, b, g, cap, ts.dropout_p,
+                        mem.protected_tokens)
+            skipped = i < ts.train_decoder_skip
+            mem, toks = decoder_update(params["decoder"], dec_cfg, mem, xb,
+                                       pb, causal=True, extra_mask=extra,
+                                       dtype=dtype, impl=impl)
+            if ts.dropout_p > 0.0 and ts.dropout_mode == "permanent":
+                labels = jnp.where(dead, -1, mem.labels)
+                mem = dataclasses.replace(mem, labels=labels)
+            if skipped:
+                mem = jax.lax.stop_gradient(mem)
+            else:
+                toks_first.append(toks)
+            cursor += g
+
+        render_ids = batch["render_ids"]
+        xr = jnp.take(x, render_ids, axis=1)
+        pr = jnp.take(pos, render_ids, axis=1)
+        toks_r = decoder_render(params["decoder"], dec_cfg, mem, xr, pr,
+                                dtype=dtype, impl=impl)
+
+        toks_all = jnp.concatenate(toks_first + [toks_r], axis=1)
+        pm = decoder_head(params["decoder"], dec_cfg, toks_all, (h, w))
+
+        pred = {
+            "pts3d": apply_exp_to_norm(pm[..., :3]),
+            "pts3d_local": apply_exp_to_norm(pm[..., 3:6]),
+            "conf": 1.0 + jnp.exp(pm[..., 6]),
+        }
+        # view indices the predictions correspond to, for GT gathering
+        first_ids = jnp.arange(n_skip, n_mem, dtype=jnp.int32)
+        loss_ids = jnp.concatenate([first_ids, render_ids.astype(jnp.int32)])
+        return pred, loss_ids
+
+    return forward
+
+
+def make_loss_fn(enc_cfg, dec_cfg, ts: TrainSettings,
+                 impl: Optional[str] = None):
+    forward = make_forward(enc_cfg, dec_cfg, ts, impl=impl)
+
+    def loss_fn(params, batch, rng):
+        pred, loss_ids = forward(params, batch, rng)
+        gt = {
+            "pts3d": jnp.take(batch["pts3d"], loss_ids, axis=1),
+            "camera_pose": jnp.take(batch["camera_pose"], loss_ids, axis=1),
+            "valid_mask": jnp.take(batch["valid_mask"], loss_ids, axis=1),
+            "sky_mask": jnp.take(batch["sky_mask"], loss_ids, axis=1),
+            "is_metric_scale": batch["is_metric_scale"],
+        }
+        return conf_regr3d_loss(gt, pred, alpha=ts.alpha,
+                                norm_mode=ts.norm_mode,
+                                sky_loss_value=ts.sky_loss_value,
+                                loss_in_log=ts.loss_in_log)
+
+    return loss_fn
+
+
+# ---------------------------------------------------------------------------
+# Optimizer (reference optimizer.py + train.py:295-318)
+# ---------------------------------------------------------------------------
+
+def cosine_schedule(base_lr: float, warmup_steps: int, total_steps: int,
+                    min_lr: float = 0.0):
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=base_lr, warmup_steps=max(warmup_steps, 1),
+        decay_steps=max(total_steps, warmup_steps + 1), end_value=min_lr)
+
+
+def _decay_mask(params):
+    """timm rule: no weight decay for 1D params (biases, norms, embeds)."""
+    return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
+
+
+def make_optimizer(lr_schedule, weight_decay: float = 0.05,
+                   b1: float = 0.9, b2: float = 0.95,
+                   grad_clip: Optional[float] = None):
+    txs = []
+    if grad_clip:
+        txs.append(optax.clip_by_global_norm(grad_clip))
+    txs.append(optax.scale_by_adam(b1=b1, b2=b2))
+    txs.append(optax.add_decayed_weights(weight_decay, mask=_decay_mask))
+    txs.append(optax.scale_by_learning_rate(lr_schedule))
+    return optax.chain(*txs)
+
+
+def effective_lr(blr: float, batch_size: int, n_devices: int = 1,
+                 accum: int = 1) -> float:
+    """lr = blr * eff_batch / 256 (reference train.py:295-298)."""
+    return blr * (batch_size * n_devices * accum) / 256.0
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
+
+def make_train_step(enc_cfg, dec_cfg, ts: TrainSettings, optimizer,
+                    impl: Optional[str] = None, donate: bool = True):
+    """One SGD step. Shard batch['...'] leading axis over the mesh 'dp' axis
+    and keep params replicated; jit + GSPMD handle the gradient psum."""
+    loss_fn = make_loss_fn(enc_cfg, dec_cfg, ts, impl=impl)
+
+    def step(params, opt_state, batch, rng):
+        (loss, details), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        if not ts.finetune_encoder:
+            # frozen encoder: zero the *updates* (also suppresses weight
+            # decay, matching torch's skip of grad-less params)
+            updates = {**updates,
+                       "encoder": jax.tree.map(jnp.zeros_like,
+                                               updates["encoder"])}
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, details
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
