@@ -1,0 +1,65 @@
+"""Benchmark: offline multi-view reconstruction throughput at 512x384.
+
+North-star metric (BASELINE.json): views/sec for the flagship
+(MUSt3R_512-sized) model running the offline pipeline -- encode every view,
+stream them through the memory decoder (schedule [2, 1, 1, ...]), then
+render every view against the final memory and run postprocess.
+
+The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
+measured against an estimated 25 views/s for the CUDA+xformers reference on
+a single A100 at this resolution (ViT-L encode + ViT-B decode + render,
+~0.7 TFLOP/view end-to-end).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+ASSUMED_BASELINE_VIEWS_PER_SEC = 25.0
+N_VIEWS = 10
+H, W = 384, 512
+
+
+def main():
+    from must3r_tpu.config import must3r_512_configs
+    from must3r_tpu.engine import InferenceCore, offline_reconstruction
+    from must3r_tpu.models import init_decoder, init_encoder
+
+    enc_cfg, dec_cfg = must3r_512_configs()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    core = InferenceCore(init_encoder(k1, enc_cfg), init_decoder(k2, dec_cfg),
+                         enc_cfg, dec_cfg, dtype=jnp.bfloat16)
+
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (N_VIEWS, H, W, 3),
+                             jnp.float32)
+
+    def run():
+        out = offline_reconstruction(core, imgs, render_bs=5, encode_bs=5,
+                                     compute_cam=True)
+        jax.block_until_ready(out)
+        return out
+
+    run()  # warmup + compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    views_per_sec = N_VIEWS / best
+
+    print(json.dumps({
+        "metric": f"views_per_sec_offline_{W}x{H}_{N_VIEWS}views",
+        "value": round(views_per_sec, 3),
+        "unit": "views/s",
+        "vs_baseline": round(views_per_sec / ASSUMED_BASELINE_VIEWS_PER_SEC,
+                             3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

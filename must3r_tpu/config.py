@@ -149,6 +149,35 @@ class DecoderConfig:
 
 
 # ---------------------------------------------------------------------------
+# Flagship model presets (reference checkpoints, README.md:107-112)
+# ---------------------------------------------------------------------------
+
+def must3r_512_configs() -> Tuple[EncoderConfig, DecoderConfig]:
+    """MUSt3R_512: ViT-L encoder (24 x 1024 x 16h) + ViT-B decoder
+    (12 x 768 x 12h), linear head, feedback MLP, 512-bucket resolutions."""
+    enc = EncoderConfig(img_size=(512, 512), patch_size=16, embed_dim=1024,
+                        depth=24, num_heads=16, mlp_ratio=4.0)
+    dec = DecoderConfig(img_size=(512, 512), enc_embed_dim=1024,
+                        patch_size=16, embed_dim=768, output_dim=1792,
+                        depth=12, num_heads=12, mlp_ratio=4.0,
+                        feedback=FeedbackType.SINGLE_MLP,
+                        memory_mode=MemoryMode.KV)
+    return enc, dec
+
+
+def must3r_224_configs() -> Tuple[EncoderConfig, DecoderConfig]:
+    """MUSt3R_224_cvpr: same towers at 224x224."""
+    enc = EncoderConfig(img_size=(224, 224), patch_size=16, embed_dim=1024,
+                        depth=24, num_heads=16, mlp_ratio=4.0)
+    dec = DecoderConfig(img_size=(224, 224), enc_embed_dim=1024,
+                        patch_size=16, embed_dim=768, output_dim=1792,
+                        depth=12, num_heads=12, mlp_ratio=4.0,
+                        feedback=FeedbackType.SINGLE_MLP,
+                        memory_mode=MemoryMode.KV)
+    return enc, dec
+
+
+# ---------------------------------------------------------------------------
 # Reference arg-string compatibility shim
 # ---------------------------------------------------------------------------
 
