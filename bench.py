@@ -26,22 +26,24 @@ H, W = 384, 512
 
 def main():
     from must3r_tpu.config import must3r_512_configs
-    from must3r_tpu.engine import InferenceCore, offline_reconstruction
+    from must3r_tpu.engine import InferenceCore, make_fused_offline
     from must3r_tpu.models import init_decoder, init_encoder
 
     enc_cfg, dec_cfg = must3r_512_configs()
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     core = InferenceCore(init_encoder(k1, enc_cfg), init_decoder(k2, dec_cfg),
                          enc_cfg, dec_cfg, dtype=jnp.bfloat16)
+    fused = make_fused_offline(core, N_VIEWS, (H, W), compute_cam=True)
 
     imgs = jax.random.normal(jax.random.PRNGKey(1), (N_VIEWS, H, W, 3),
                              jnp.float32)
 
     def run():
-        out = offline_reconstruction(core, imgs, render_bs=5, encode_bs=5,
-                                     compute_cam=True)
-        jax.block_until_ready(out)
-        return out
+        out = fused(imgs)
+        # force full materialization: fetch a scalar touching every output
+        # (block_until_ready alone is not reliable through remote tunnels)
+        s = sum(jnp.sum(v) for v in out.values())
+        return float(s)
 
     run()  # warmup + compile
     times = []

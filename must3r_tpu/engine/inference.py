@@ -46,6 +46,7 @@ from must3r_tpu.ops.pose import (
 # Postprocess (reference inference.py:16-47)
 # ---------------------------------------------------------------------------
 
+@partial(jax.jit, static_argnums=(1, 2))
 def postprocess(pointmaps, activation: ActivationType = ActivationType.NORM_EXP,
                 compute_cam: bool = False):
     """Split the 7-channel head output into calibrated quantities.
@@ -121,16 +122,19 @@ class InferenceCore:
 
     def __init__(self, enc_params, dec_params, enc_cfg: EncoderConfig,
                  dec_cfg: DecoderConfig, dtype=jnp.bfloat16,
-                 impl: Optional[str] = None):
+                 enc_dtype=None, impl: Optional[str] = None):
         self.enc_params = enc_params
         self.dec_params = dec_params
         self.enc_cfg = enc_cfg
         self.dec_cfg = dec_cfg
         self.dtype = dtype
+        # production default: bf16 encoder on TPU (fp32 = parity mode)
+        self.enc_dtype = dtype if enc_dtype is None else enc_dtype
         self.impl = impl
 
         self._encode = jax.jit(
             lambda p, img, pos: encoder_forward(p, enc_cfg, img, pos,
+                                                dtype=self.enc_dtype,
                                                 impl=impl))
         self._update = jax.jit(
             lambda p, mem, x, pos: decoder_update(
@@ -287,3 +291,64 @@ def offline_reconstruction(core: InferenceCore, imgs, img_hw=None,
     if return_mem:
         return result, mem
     return result
+
+
+# ---------------------------------------------------------------------------
+# Fused single-program pipeline (uniform-AR fast path)
+# ---------------------------------------------------------------------------
+
+def make_fused_offline(core: InferenceCore, n_views: int, img_hw,
+                       init_num_images: int = 2, compute_cam: bool = True,
+                       capacity_block: int = 512):
+    """Compile the ENTIRE offline reconstruction into one XLA program:
+    encode all views -> init update -> lax.scan of 1-view updates ->
+    batched render -> head -> postprocess.
+
+    One device dispatch per collection instead of ~2V: on a tunneled or
+    multi-host setup this removes all per-step launch latency, and XLA
+    overlaps encode/update phases freely. Uniform aspect-ratio buckets
+    only -- the host-loop `offline_reconstruction` handles mixed AR.
+    """
+    enc_cfg, dec_cfg = core.enc_cfg, core.dec_cfg
+    h, w = img_hw
+    n = (h // dec_cfg.patch_size) * (w // dec_cfg.patch_size)
+    cap = round_capacity(n_views * n, capacity_block)
+    g0 = min(init_num_images, n_views)
+
+    def pipeline(enc_params, dec_params, imgs, pos, portrait):
+        x = encoder_forward(enc_params, enc_cfg, imgs, pos,
+                            dtype=core.enc_dtype, impl=core.impl)
+        mem = init_memory(dec_cfg.depth, 1, dec_cfg.num_heads,
+                          dec_cfg.head_dim, cap, dtype=core.dtype)
+        mem, _ = decoder_update(dec_params, dec_cfg, mem, x[None, :g0],
+                                pos[None, :g0], causal=False,
+                                dtype=core.dtype, impl=core.impl)
+
+        if n_views > g0:
+            def step(mem, inp):
+                xi, pi = inp
+                mem, _ = decoder_update(dec_params, dec_cfg, mem,
+                                        xi[None, None], pi[None, None],
+                                        causal=False, dtype=core.dtype,
+                                        impl=core.impl)
+                return mem, None
+
+            mem, _ = jax.lax.scan(step, mem, (x[g0:], pos[g0:]))
+
+        toks = decoder_render(dec_params, dec_cfg, mem, x[None], pos[None],
+                              dtype=core.dtype, impl=core.impl)
+        pm = decoder_head(dec_params, dec_cfg, toks, (h, w),
+                          portrait[None])[0]
+        return postprocess(pm, dec_cfg.pointmaps_activation,
+                           compute_cam=compute_cam)
+
+    jitted = jax.jit(pipeline)
+
+    def run(imgs, portrait=None):
+        if portrait is None:
+            portrait = jnp.zeros((n_views,), bool)
+        pos = view_positions(img_hw, enc_cfg.patch_size, portrait,
+                             batch_shape=(n_views,))
+        return jitted(core.enc_params, core.dec_params, imgs, pos, portrait)
+
+    return run

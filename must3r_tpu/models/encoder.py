@@ -46,20 +46,25 @@ def init_encoder(key, cfg: EncoderConfig):
 
 
 def encoder_forward(params, cfg: EncoderConfig, img, positions,
-                    impl: Optional[str] = None):
+                    dtype=jnp.float32, impl: Optional[str] = None):
     """Encode images to patch tokens.
 
     Args:
       img: [B, H, W, 3] normalized images (landscape storage).
       positions: [B, N, 2] int (y, x) patch coords (portrait views carry
         swapped coords -- see tools.image).
+      dtype: compute dtype. The reference forces fp32 (encoder.py:46) for
+        CUDA-AMP stability; on TPU, bf16 matmuls accumulate in fp32
+        natively (preferred_element_type), so bf16 is the production
+        setting -- fp32 remains the parity mode. LayerNorm stats always
+        run fp32 either way.
 
     Returns:
-      tokens [B, N, embed_dim] float32 (the encoder is an fp32 island,
-      reference encoder.py:46).
+      tokens [B, N, embed_dim] float32.
     """
     img = img.astype(jnp.float32)
-    x = linear(params["patch_embed"], patchify_image(img, cfg.patch_size))
+    x = linear(params["patch_embed"],
+               patchify_image(img, cfg.patch_size)).astype(dtype)
     cos, sin = make_rope_tables(positions, cfg.head_dim, base=cfg.rope.base,
                                 f0=cfg.rope.f0, dtype=jnp.float32)
 
@@ -69,4 +74,4 @@ def encoder_forward(params, cfg: EncoderConfig, img, positions,
         return x, None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    return layer_norm(params["norm"], x, cfg.ln_eps)
+    return layer_norm(params["norm"], x.astype(jnp.float32), cfg.ln_eps)

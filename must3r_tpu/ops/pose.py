@@ -53,24 +53,42 @@ def estimate_focal_weiszfeld(pts3d_local, n_iters: int = 10,
     focal = (jnp.mean(dot_xy_px, axis=1)
              / jnp.clip(jnp.mean(dot_xy_xy, axis=1), _EPS))
 
-    def body(_, focal):
+    # unrolled IRLS: short dependency chain of fused elementwise kernels
+    # (fori_loop would force one dispatch round-trip per iteration)
+    for _ in range(n_iters):
         dis = jnp.linalg.norm(pixels - focal[:, None, None] * xy_over_z,
                               axis=-1)
         wgt = 1.0 / jnp.clip(dis, _EPS)
-        return (jnp.mean(wgt * dot_xy_px, axis=1)
-                / jnp.clip(jnp.mean(wgt * dot_xy_xy, axis=1), _EPS))
-
-    focal = jax.lax.fori_loop(0, n_iters, body, focal)
+        focal = (jnp.mean(wgt * dot_xy_px, axis=1)
+                 / jnp.clip(jnp.mean(wgt * dot_xy_xy, axis=1), _EPS))
     focal = jnp.clip(focal, min_focal, max_focal)
     return focal.reshape(lead)
 
 
-def rigid_points_registration(x, y, weights=None):
+def _quat_to_rotmat(q):
+    """Unit quaternion [..., 4] (w, x, y, z) -> rotation matrix [..., 3, 3]."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = jnp.stack([
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    ], axis=-1)
+    return r.reshape(*q.shape[:-1], 3, 3)
+
+
+def rigid_points_registration(x, y, weights=None, n_power_iters: int = 64):
     """Weighted Procrustes: find R, T minimizing sum_i w_i ||R x_i + T - y_i||^2.
 
     Behavioral parity with `roma.rigid_points_registration`
-    (compute_scaling=False): returns (R [..., 3, 3], T [..., 3]) with
-    det(R) = +1 via the sign-corrected SVD solution.
+    (compute_scaling=False): returns (R [..., 3, 3], T [..., 3]),
+    det(R) = +1 always.
+
+    TPU-first solver: instead of a 3x3 SVD (slow to compile and serialize
+    on TPU), the optimal rotation comes from Horn's quaternion method --
+    the dominant eigenvector of the 4x4 symmetric matrix K built from the
+    weighted correlation, found by shifted power iteration. Fully fused
+    elementwise/matmul ops: microsecond runtime, instant compile, and the
+    proper-rotation constraint is automatic.
 
     Args:
       x: [..., N, 3] source points (local frame).
@@ -89,12 +107,31 @@ def rigid_points_registration(x, y, weights=None):
     cy = jnp.sum(wn[..., None] * yf, axis=-2)
     xc = xf - cx[..., None, :]
     yc = yf - cy[..., None, :]
-    # covariance M = sum w * yc^T xc  -> [..., 3, 3]
-    m = jnp.einsum("...n,...ni,...nj->...ij", wn, yc, xc)
-    u, s, vt = jnp.linalg.svd(m)
-    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", u, vt))
-    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    r = jnp.einsum("...ij,...j,...jk->...ik", u, d, vt)
+    # correlation S[i, j] = sum w * xc_i * yc_j  -> [..., 3, 3]
+    s = jnp.einsum("...n,...ni,...nj->...ij", wn, xc, yc)
+
+    sxx, sxy, sxz = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
+    syx, syy, syz = s[..., 1, 0], s[..., 1, 1], s[..., 1, 2]
+    szx, szy, szz = s[..., 2, 0], s[..., 2, 1], s[..., 2, 2]
+    # Horn's K matrix (dominant eigenvector = optimal quaternion)
+    k = jnp.stack([
+        sxx + syy + szz, syz - szy,       szx - sxz,       sxy - syx,
+        syz - szy,       sxx - syy - szz, sxy + syx,       szx + sxz,
+        szx - sxz,       sxy + syx,       syy - sxx - szz, syz + szy,
+        sxy - syx,       szx + sxz,       syz + szy,       szz - sxx - syy,
+    ], axis=-1).reshape(*s.shape[:-2], 4, 4)
+
+    # shift by ||K||_F: guarantees positive-definiteness (lambda_min >=
+    # -||K||_F) with the smallest generic over-shift, keeping the power
+    # iteration's convergence ratio favorable
+    shift = jnp.linalg.norm(k, axis=(-2, -1), keepdims=True) + _EPS
+    k_sh = k + shift * jnp.eye(4, dtype=k.dtype)
+    seed = jnp.asarray([1.0, 0.011, 0.017, 0.023], k.dtype)  # asymmetric
+    q = jnp.broadcast_to(seed, (*k.shape[:-2], 4))
+    for _ in range(n_power_iters):
+        q = jnp.einsum("...ij,...j->...i", k_sh, q)
+        q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    r = _quat_to_rotmat(q)
     t = cy - jnp.einsum("...ij,...j->...i", r, cx)
     return r, t
 
