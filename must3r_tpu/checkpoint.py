@@ -1,0 +1,212 @@
+"""Checkpointing: orbax-backed native checkpoints + torch converter.
+
+Replaces the reference's pickle-based flow (`must3r/engine/io.py`,
+`must3r/model/__init__.py:30-63`): instead of `eval()`ing constructor
+strings stored in the checkpoint, configs are serialized as JSON
+(self-describing without arbitrary code execution); params/optimizer are
+pytrees saved with orbax.
+
+`convert_torch_checkpoint` maps a reference `.pth` state-dict (key names
+documented in SURVEY.md §2.2: `blocks_enc.*`, `blocks_dec.*`,
+`feat_embed_enc_to_dec`, `cross_attn.proj{q,k,v}`, `head_dec.proj`,
+`feedback_layer`, ...) onto our pytree layout so published MUSt3R weights
+run on TPU unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from must3r_tpu.config import (
+    DecoderConfig,
+    EncoderConfig,
+    config_from_json,
+    config_to_json,
+    decoder_config_from_arg_string,
+    encoder_config_from_arg_string,
+)
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoints (orbax)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, params, enc_cfg: EncoderConfig,
+                    dec_cfg: DecoderConfig, opt_state=None,
+                    step: int = 0, extra: Optional[Dict[str, Any]] = None):
+    """Write a self-describing checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    meta = {
+        "encoder_config": config_to_json(enc_cfg),
+        "decoder_config": config_to_json(dec_cfg),
+        "step": step,
+        **(extra or {}),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = {"params": params}
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    ckptr.save(os.path.join(path, "state"), tree, force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str):
+    """Returns (params, enc_cfg, dec_cfg, opt_state_or_None, meta)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(os.path.join(path, "state"))
+    enc_cfg = config_from_json(meta["encoder_config"])
+    dec_cfg = config_from_json(meta["decoder_config"])
+    return (tree["params"], enc_cfg, dec_cfg, tree.get("opt_state"), meta)
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Auto-resume hook (reference train.py:241-243): newest checkpoint-*
+    directory under output_dir, or None."""
+    if not os.path.isdir(output_dir):
+        return None
+    cands = [d for d in os.listdir(output_dir)
+             if d.startswith("checkpoint-")
+             and os.path.isfile(os.path.join(output_dir, d, "meta.json"))]
+    if not cands:
+        return None
+
+    def key(d):
+        tag = d.split("-", 1)[1]
+        return (1, int(tag)) if tag.isdigit() else (2, 0)
+
+    return os.path.join(output_dir, max(cands, key=key))
+
+
+# ---------------------------------------------------------------------------
+# Torch state-dict conversion
+# ---------------------------------------------------------------------------
+
+def _t(sd, key):
+    """torch Linear weight [out, in] -> our [in, out]."""
+    return jnp.asarray(np.asarray(sd[key]).T)
+
+
+def _v(sd, key):
+    return jnp.asarray(np.asarray(sd[key]))
+
+
+def _ln(sd, prefix):
+    return {"scale": _v(sd, prefix + ".weight"),
+            "bias": _v(sd, prefix + ".bias")}
+
+
+def _lin(sd, prefix):
+    p = {"w": _t(sd, prefix + ".weight")}
+    if prefix + ".bias" in sd:
+        p["b"] = _v(sd, prefix + ".bias")
+    return p
+
+
+def _mlp(sd, prefix):
+    return {"fc1": _lin(sd, prefix + ".fc1"),
+            "fc2": _lin(sd, prefix + ".fc2")}
+
+
+def _stack(blocks):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def convert_encoder_state_dict(sd: Dict[str, Any], cfg: EncoderConfig):
+    """Reference `Dust3rEncoder` state-dict -> encoder pytree.
+
+    The conv patch-embed [D, 3, P, P] flattens (c, i, j)-major, exactly the
+    feature order of ops.patch.patchify_image."""
+    w = np.asarray(sd["patch_embed.proj.weight"])
+    d = w.shape[0]
+    patch_embed = {"w": jnp.asarray(w.reshape(d, -1).T),
+                   "b": _v(sd, "patch_embed.proj.bias")}
+    blocks = []
+    for i in range(cfg.depth):
+        p = f"blocks_enc.{i}"
+        blocks.append({
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "attn": {"qkv": _lin(sd, f"{p}.attn.qkv"),
+                     "proj": _lin(sd, f"{p}.attn.proj")},
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "mlp": _mlp(sd, f"{p}.mlp"),
+        })
+    return {"patch_embed": patch_embed, "blocks": _stack(blocks),
+            "norm": _ln(sd, "norm_enc")}
+
+
+def convert_decoder_state_dict(sd: Dict[str, Any], cfg: DecoderConfig):
+    """Reference `MUSt3R`/`CausalMUSt3R` state-dict -> decoder pytree."""
+    blocks = []
+    for i in range(cfg.depth):
+        p = f"blocks_dec.{i}"
+        blocks.append({
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "attn": {"qkv": _lin(sd, f"{p}.attn.qkv"),
+                     "proj": _lin(sd, f"{p}.attn.proj")},
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "norm_y": _ln(sd, f"{p}.norm_y"),
+            "projq": _lin(sd, f"{p}.cross_attn.projq"),
+            "projk": _lin(sd, f"{p}.cross_attn.projk"),
+            "projv": _lin(sd, f"{p}.cross_attn.projv"),
+            "proj_ca": _lin(sd, f"{p}.cross_attn.proj"),
+            "norm3": _ln(sd, f"{p}.norm3"),
+            "mlp": _mlp(sd, f"{p}.mlp"),
+        })
+    params = {
+        "feat_embed": _lin(sd, "feat_embed_enc_to_dec"),
+        "image2_embed": _v(sd, "image2_embed").reshape(-1),
+        "blocks": _stack(blocks),
+        "norm_dec": _ln(sd, "norm_dec"),
+        "head_proj": _lin(sd, "head_dec.proj"),
+    }
+    if "feedback_layer.fc1.weight" in sd:
+        params["feedback"] = _mlp(sd, "feedback_layer")
+        params["feedback_norm"] = _ln(sd, "feedback_norm")
+    elif "feedback_layer.weight" in sd:
+        params["feedback"] = _lin(sd, "feedback_layer")
+        params["feedback_norm"] = _ln(sd, "feedback_norm")
+    return params
+
+
+def convert_torch_checkpoint(path: str, img_size: Optional[int] = None
+                             ) -> Tuple[dict, EncoderConfig, DecoderConfig]:
+    """Load a reference `.pth` checkpoint: parse the stored constructor
+    strings into typed configs (no eval(); reference rewrites
+    CausalMUSt3R->MUSt3R at load, model/__init__.py:53-63) and convert both
+    state dicts.
+
+    Returns ({'encoder', 'decoder'}, enc_cfg, dec_cfg)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    args = ckpt["args"]
+    enc_cfg = encoder_config_from_arg_string(
+        args.encoder if hasattr(args, "encoder") else args["encoder"])
+    dec_cfg = decoder_config_from_arg_string(
+        args.decoder if hasattr(args, "decoder") else args["decoder"])
+    dec_cfg = dec_cfg.inference_variant()
+    if img_size is not None:
+        from must3r_tpu.config import set_image_size
+        enc_cfg = set_image_size(enc_cfg, img_size)
+        dec_cfg = set_image_size(dec_cfg, img_size)
+
+    def to_np(sd):
+        return {k: v.float().numpy() for k, v in sd.items()}
+
+    enc_params = convert_encoder_state_dict(to_np(ckpt["encoder"]), enc_cfg)
+    dec_params = convert_decoder_state_dict(to_np(ckpt["decoder"]), dec_cfg)
+    return ({"encoder": enc_params, "decoder": dec_params}, enc_cfg, dec_cfg)

@@ -1,0 +1,211 @@
+"""Host-side image preprocessing: aspect buckets, resize transforms, loading.
+
+Parity target: reference `must3r/tools/image.py` (bucket table
+`ratios_resolutions`, `get_HW_resolution`, `get_resize_function` with its
+forward/backward 3x3 pixel-coordinate transforms) and the dust3r helpers the
+reference imports (`load_images`-style bucketed loading, `ImgNorm` 0.5/0.5
+normalization, `slam/model.py:99-120` frame preprocessing).
+
+This is host code (numpy + PIL/cv2); the static bucket table is what bounds
+the number of compiled TPU executables -- every image maps to one of these
+shapes before it ever reaches the device.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import PIL.Image
+import PIL.ImageOps
+
+# reference tools/image.py:17-24 -- one dict per max dimension; keys are
+# landscape aspect ratios, values are [long, short] resolutions
+RATIOS_RESOLUTIONS: Dict[int, Dict[float, Tuple[int, int]]] = {
+    224: {1.0: (224, 224)},
+    336: {1.0: (336, 336)},
+    384: {4 / 3: (384, 288), 3 / 2: (384, 256), 2 / 1: (384, 192),
+          3 / 1: (384, 128)},
+    448: {1.0: (448, 448)},
+    512: {4 / 3: (512, 384), 32 / 21: (512, 336), 16 / 9: (512, 288),
+          2 / 1: (512, 256), 16 / 5: (512, 160)},
+    768: {4 / 3: (768, 576), 3 / 2: (768, 512), 16 / 9: (768, 432),
+          2 / 1: (768, 384), 16 / 5: (768, 240)},
+}
+
+IMG_MEAN = 0.5
+IMG_STD = 0.5
+
+
+def get_hw_resolution(h: int, w: int, maxdim, patch_size: int = 16
+                      ) -> Tuple[int, int]:
+    """Pick the bucket resolution for an image: nearest aspect ratio in the
+    maxdim table; portrait images use the transposed buckets. Returns (H, W).
+    """
+    table = maxdim if isinstance(maxdim, dict) else RATIOS_RESOLUTIONS[maxdim]
+    ratio = w / h
+    keys = np.array(list(table.keys()))
+    landscape = w >= h
+    diff = np.abs(ratio - keys) if landscape else np.abs(ratio - 1.0 / keys)
+    long_side, short_side = table[float(keys[np.argmin(diff)])]
+    assert long_side % patch_size == 0 and short_side % patch_size == 0
+    return (short_side, long_side) if landscape else (long_side, short_side)
+
+
+def get_resize_function(maxdim, patch_size: int, h: int, w: int,
+                        is_mask: bool = False):
+    """Center-crop to the target aspect then resize to the bucket.
+
+    Returns (fn, to_rescaled, to_orig): fn maps an [H, W, C] numpy image to
+    the bucket shape; the 3x3 matrices map homogeneous pixel coordinates
+    original->rescaled and back (reference tools/image.py:56-93).
+    """
+    table = maxdim if isinstance(maxdim, dict) else RATIOS_RESOLUTIONS[maxdim]
+    if (max(h, w), min(h, w)) in {tuple(v) for v in table.values()}:
+        return (lambda x: x), np.eye(3), np.eye(3)
+
+    th, tw = get_hw_resolution(h, w, maxdim, patch_size)
+    ratio = w / h
+    target_ratio = tw / th
+    to_orig_crop = np.eye(3)
+    to_rescaled_crop = np.eye(3)
+    if abs(ratio - target_ratio) < np.finfo(np.float32).eps:
+        crop_w, crop_h = w, h
+    elif ratio < target_ratio:
+        crop_w = w
+        crop_h = int(w / target_ratio)
+        to_orig_crop[1, 2] = (h - crop_h) / 2.0
+        to_rescaled_crop[1, 2] = -(h - crop_h) / 2.0
+    else:
+        crop_w = int(h * target_ratio)
+        crop_h = h
+        to_orig_crop[0, 2] = (w - crop_w) / 2.0
+        to_rescaled_crop[0, 2] = -(w - crop_w) / 2.0
+
+    to_orig_resize = np.diag([crop_w / tw, crop_h / th, 1.0])
+    to_rescaled_resize = np.diag([tw / crop_w, th / crop_h, 1.0])
+
+    def fn(img: np.ndarray) -> np.ndarray:
+        ih, iw = img.shape[:2]
+        y0 = (ih - crop_h) // 2
+        x0 = (iw - crop_w) // 2
+        img = img[y0:y0 + crop_h, x0:x0 + crop_w]
+        return resize_image(img, (th, tw), nearest=is_mask)
+
+    return fn, to_rescaled_resize @ to_rescaled_crop, \
+        to_orig_crop @ to_orig_resize
+
+
+def resize_image(img: np.ndarray, hw: Tuple[int, int],
+                 nearest: bool = False) -> np.ndarray:
+    """Resize an [H, W, C] (or [H, W]) numpy image; antialiased bilinear for
+    photos, nearest for masks."""
+    import cv2
+
+    th, tw = hw
+    if img.shape[:2] == (th, tw):
+        return img
+    if nearest:
+        interp = cv2.INTER_NEAREST
+    elif th < img.shape[0]:
+        interp = cv2.INTER_AREA
+    else:
+        interp = cv2.INTER_LINEAR
+    return cv2.resize(img, (tw, th), interpolation=interp)
+
+
+def normalize_image(img: np.ndarray) -> np.ndarray:
+    """uint8 [H, W, 3] -> float32 normalized (dust3r ImgNorm: mean=std=0.5)."""
+    return (img.astype(np.float32) / 255.0 - IMG_MEAN) / IMG_STD
+
+
+def denormalize_image(img: np.ndarray) -> np.ndarray:
+    return np.clip((img * IMG_STD + IMG_MEAN) * 255.0, 0, 255
+                   ).astype(np.uint8)
+
+
+def to_landscape(img: np.ndarray) -> Tuple[np.ndarray, bool]:
+    """Store portrait images transposed (the network always sees W >= H;
+    the head transposes predictions back)."""
+    h, w = img.shape[:2]
+    if h > w:
+        return np.swapaxes(img, 0, 1), True
+    return img, False
+
+
+def preprocess_image(img: np.ndarray, maxdim, patch_size: int = 16):
+    """Full pipeline for one image: bucket resize + normalize + landscape
+    storage.
+
+    Returns dict: 'img' float32 [Hb, Wb, 3] (landscape), 'true_shape'
+    (H, W) of the *bucketed* image before transposition, 'portrait' bool,
+    'to_orig' 3x3 (bucket pixel -> original pixel).
+    """
+    h, w = img.shape[:2]
+    fn, to_rescaled, to_orig = get_resize_function(maxdim, patch_size, h, w)
+    out = fn(img)
+    out = normalize_image(out)
+    true_shape = out.shape[:2]
+    out, portrait = to_landscape(out)
+    return {"img": out, "true_shape": true_shape, "portrait": portrait,
+            "to_orig": to_orig, "to_rescaled": to_rescaled}
+
+
+def preprocess_frame(img: np.ndarray, res: int, patch_size: int = 16,
+                     square: bool = False):
+    """SLAM-style preprocessing (reference slam/model.py:99-120): resize the
+    long side to `res`, center-crop each side down to a multiple of the
+    patch size (or to a square for 224-class models)."""
+    h, w = img.shape[:2]
+    scale = res / max(h, w)
+    nh, nw = round(h * scale), round(w * scale)
+    img = resize_image(img, (nh, nw))
+    if square:
+        s = min(nh, nw) // patch_size * patch_size
+        ch, cw = s, s
+    else:
+        ch = nh // patch_size * patch_size
+        cw = nw // patch_size * patch_size
+    y0 = (nh - ch) // 2
+    x0 = (nw - cw) // 2
+    img = img[y0:y0 + ch, x0:x0 + cw]
+    out = normalize_image(img) if img.dtype == np.uint8 else img
+    stored, portrait = to_landscape(out)
+    return {"img": stored, "true_shape": (ch, cw), "portrait": portrait}
+
+
+def load_image(path: str) -> np.ndarray:
+    """Read an image file to RGB uint8 (EXIF-transposed)."""
+    with PIL.Image.open(path) as pil:
+        pil = PIL.ImageOps.exif_transpose(pil)
+        return np.asarray(pil.convert("RGB"))
+
+
+def load_images(paths: Sequence[str], maxdim, patch_size: int = 16,
+                verbose: bool = False) -> List[dict]:
+    """Load + preprocess an image collection (dust3r `load_images` parity).
+
+    Each entry carries 'img', 'true_shape', 'portrait', 'to_orig', 'path'.
+    """
+    views = []
+    for p in paths:
+        img = load_image(p)
+        view = preprocess_image(img, maxdim, patch_size)
+        view["path"] = p
+        views.append(view)
+        if verbose:
+            print(f"loaded {p} -> {view['img'].shape}")
+    return views
+
+
+def list_images(folder: str) -> List[str]:
+    """Sorted list of loadable image files in a folder (PIL-extension
+    check, reference tools/image.py:96-118)."""
+    exts = PIL.Image.registered_extensions()
+    out = []
+    for name in sorted(os.listdir(folder)):
+        if os.path.splitext(name)[1].lower() in exts:
+            out.append(os.path.join(folder, name))
+    return out
+
