@@ -188,14 +188,19 @@ def compact(mem: MemoryState) -> MemoryState:
                                                     new_len))
 
 
-def truncate(mem: MemoryState, length) -> MemoryState:
+def truncate(mem: MemoryState, length, n_imgs=None) -> MemoryState:
     """Roll back to an earlier high-water mark (drop the tokens appended
     after it). The SLAM tentative-update-then-maybe-discard pattern
     (slam/model.py:499-527) becomes: run update, keep either the new state
-    or ``truncate`` -- no recompute."""
+    or ``truncate`` -- no recompute. Stale values past `length` are
+    harmless: their labels are -1 and the CA kernel never reads past the
+    high-water mark."""
     keep = jax.lax.broadcasted_iota(jnp.int32, mem.labels.shape, 1) < length
     labels = jnp.where(keep, mem.labels, -1)
+    n_imgs = mem.n_imgs if n_imgs is None else jnp.int32(n_imgs)
     return MemoryState(kv=mem.kv, labels=labels, length=jnp.int32(length),
-                       n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
+                       n_imgs=n_imgs,
+                       protected_imgs=jnp.minimum(mem.protected_imgs,
+                                                  n_imgs),
                        protected_tokens=jnp.minimum(mem.protected_tokens,
                                                     jnp.int32(length)))

@@ -1,0 +1,370 @@
+"""Online visual odometry / SLAM on top of the streaming memory decoder.
+
+Parity target: reference `must3r/slam/model.py` (`SLAM_MUSt3R`,
+`MUSt3R_Agent`, `forward_must3r`, `postproc_pred`, `get_overlap_score`,
+`get_camera_pose`) -- per frame:
+
+  1. preprocess (resize long side, crop to x16 multiple),
+  2. encode + tentative memory update + pointmap head  (one jitted step),
+  3. focal (Weiszfeld) with sequence-focal rectification, pose via
+     confidence-weighted Procrustes,
+  4. overlap score = percentile of NN-distance/depth of confident points
+     against the keyframe map (native KD-tree, optionally quadrant-split),
+  5. keyframe iff overlap > thr and median conf > thr -> commit memory and
+     insert points; else ROLL BACK.
+
+TPU-native twist: the tentative update writes in place into the donated
+fixed-capacity memory; commit is a no-op and rejection is an O(1) label
+rollback (`memory.truncate`) -- the reference instead re-derives `newmem`
+and discards it. Device work per frame is exactly one jitted dispatch plus
+one small postprocess dispatch; the KD-tree runs on host in parallel with
+nothing blocking the TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from must3r_tpu.config import DecoderConfig, EncoderConfig
+from must3r_tpu.engine.inference import view_positions
+from must3r_tpu.memory import MemoryState, init_memory, round_capacity, truncate
+from must3r_tpu.models.decoder import decoder_head, decoder_render, decoder_update
+from must3r_tpu.models.encoder import encoder_forward
+from must3r_tpu.ops.geometry import apply_exp_to_norm
+from must3r_tpu.ops.pose import (
+    estimate_focal_weiszfeld,
+    inv_se3,
+    make_c2w,
+    rigid_points_registration,
+)
+from must3r_tpu.slam.nns import get_searcher
+from must3r_tpu.slam.tools import (
+    laplacian_smoothing,
+    laplacian_smoothing_with_confidence,
+)
+from must3r_tpu.tools.image import preprocess_frame
+
+
+@dataclasses.dataclass
+class SlamConfig:
+    res: int = 512
+    searcher: str = "kdtree-quadrant_x2"
+    overlap_mode: str = "nn-norm"          # 'nn', 'nn-norm', 'meanconf', ...
+    kf_x_subsamp: int = 4
+    keyframe_overlap_thr: float = 0.15
+    min_conf_keyframe: float = 1.5
+    overlap_percentile: float = 70.0
+    rerender: bool = False
+    fixed_focal: bool = True
+    num_init_frames: int = 2
+    max_keyframes: int = 256
+    keep_memory: bool = False
+
+
+class Must3rSLAM:
+    """Streaming reconstruction engine (single agent per camera stream)."""
+
+    def __init__(self, params, enc_cfg: EncoderConfig,
+                 dec_cfg: DecoderConfig, cfg: SlamConfig = SlamConfig(),
+                 dtype=jnp.bfloat16, impl: Optional[str] = None):
+        self.params = params
+        self.enc_cfg = enc_cfg
+        self.dec_cfg = dec_cfg
+        self.cfg = cfg
+        self.dtype = dtype
+        self.impl = impl
+        self.square = max(enc_cfg.img_size) in (224, 336, 448)
+
+        self._step_fn = jax.jit(self._step, donate_argnums=(1,))
+        self._post_fn = jax.jit(self._post, static_argnums=(2,))
+        self._render_fn = jax.jit(self._render_batch)
+        self._encode_fn = jax.jit(
+            lambda p, img, pos: encoder_forward(p["encoder"], self.enc_cfg,
+                                                img, pos, dtype=self.dtype,
+                                                impl=self.impl))
+        self.reset()
+
+    # -- jitted device programs --------------------------------------------
+
+    def _step(self, params, mem, img, pos):
+        """encode -> tentative update -> head, one dispatch."""
+        x = encoder_forward(params["encoder"], self.enc_cfg, img, pos,
+                            dtype=self.dtype, impl=self.impl)
+        mem, toks = decoder_update(params["decoder"], self.dec_cfg, mem,
+                                   x[:, None], pos[:, None], causal=False,
+                                   dtype=self.dtype, impl=self.impl)
+        hw = (img.shape[1], img.shape[2])
+        pm = decoder_head(params["decoder"], self.dec_cfg, toks, hw)
+        return mem, pm[0, 0]
+
+    def _post(self, pm, seq_focal, is_first: bool):
+        """Activation, focal + rectified Procrustes pose, overlap inputs."""
+        cfg = self.cfg
+        pts3d = apply_exp_to_norm(pm[..., :3].astype(jnp.float32))
+        local = apply_exp_to_norm(pm[..., 3:6].astype(jnp.float32))
+        conf = 1.0 + jnp.exp(pm[..., 6].astype(jnp.float32))
+
+        focal = estimate_focal_weiszfeld(local[None])[0]
+        if is_first:
+            c2w = jnp.eye(4, dtype=jnp.float32)
+        else:
+            ratio = jnp.where((seq_focal > 0) & (focal > 1e-6),
+                              seq_focal / jnp.maximum(focal, 1e-6), 1.0)
+            local_r = local.at[..., 2].multiply(ratio)
+            r, t = rigid_points_registration(
+                local_r.reshape(-1, 3), pts3d.reshape(-1, 3),
+                weights=conf.reshape(-1) - 1.0)
+            c2w = make_c2w(r, t)
+
+        s = cfg.kf_x_subsamp or 1
+        return dict(
+            pts3d=pts3d, local=local, conf=conf, focal=focal, c2w=c2w,
+            conf_median=jnp.median(conf), conf_mean=jnp.mean(conf),
+            sub_pts=pts3d[::s, ::s], sub_conf=conf[::s, ::s],
+            sub_depth=local[::s, ::s, 2],
+        )
+
+    def _render_batch(self, params, mem, x, pos):
+        toks = decoder_render(params["decoder"], self.dec_cfg, mem, x, pos,
+                              dtype=self.dtype, impl=self.impl)
+        hw = self._hw
+        return decoder_head(params["decoder"], self.dec_cfg, toks, hw)
+
+    # -- state ---------------------------------------------------------------
+
+    def reset(self):
+        self.mem: Optional[MemoryState] = None
+        self._hw = None
+        self._n_tokens = None
+        self.committed_len = 0
+        self.committed_imgs = 0
+        self.overlap_tree = get_searcher(
+            self.cfg.searcher if "nn" in self.cfg.overlap_mode else "none")
+        self.all_poses: List[np.ndarray] = []
+        self.all_confs: List[float] = []
+        self.all_timestamps: List[int] = []
+        self.all_focals: List[float] = []
+        self.keyframes: List[int] = []
+        self.keyframe_pointmaps = []
+        self.seq_focals = {"f": [], "conf": [], "to_orig": []}
+        self.all_images = []
+        self.all_pts3d = None
+
+    @property
+    def num_mem_frames(self) -> int:
+        return len(self.keyframes)
+
+    def _seq_focal(self) -> float:
+        f = self.seq_focals["f"]
+        if not f or not self.cfg.fixed_focal:
+            return -1.0
+        f = np.asarray(f)
+        c = np.asarray(self.seq_focals["conf"])
+        return float((f * c / c.sum()).sum())
+
+    def get_true_focal(self):
+        if not self.seq_focals["f"]:
+            return None
+        return self._seq_focal() * self.seq_focals["to_orig"][0]
+
+    # -- per-frame ------------------------------------------------------------
+
+    def _ensure_memory(self, hw):
+        if self.mem is None or self._hw != tuple(hw):
+            self._hw = tuple(hw)
+            p = self.dec_cfg.patch_size
+            self._n_tokens = (hw[0] // p) * (hw[1] // p)
+            cap = round_capacity(self.cfg.max_keyframes * self._n_tokens,
+                                 512)
+            self.mem = init_memory(self.dec_cfg.depth, 1,
+                                   self.dec_cfg.num_heads,
+                                   self.dec_cfg.head_dim, cap,
+                                   dtype=self.dtype)
+            self.committed_len = 0
+            self.committed_imgs = 0
+
+    def _overlap_score(self, post, cam_center) -> float:
+        cfg = self.cfg
+        mode = cfg.overlap_mode
+        if mode == "meanconf":
+            return float(post["conf_mean"])
+        if mode == "medianconf":
+            return float(post["conf_median"])
+        assert "nn" in mode, mode
+        conf = np.asarray(post["sub_conf"])
+        msk = conf > cfg.min_conf_keyframe
+        if msk.sum() == 0 or self.overlap_tree is None:
+            return 0.0
+        pts = np.asarray(post["sub_pts"])[msk]
+        dists = self.overlap_tree.query(pts, cam_center=cam_center)
+        if "norm" in mode:
+            depth = np.asarray(post["sub_depth"])[msk]
+            dists = dists / (depth + 1e-9)
+        dists = np.where(np.isposinf(dists), np.finfo(np.float32).max,
+                         dists)
+        return float(np.percentile(dists, cfg.overlap_percentile))
+
+    def __call__(self, frame: np.ndarray, frame_id: int, cam_id: int = 0):
+        """Process one frame. Returns a dict with pose/conf/focal/keyframe
+        plus full-resolution pointmaps."""
+        cfg = self.cfg
+        prep = preprocess_frame(frame, cfg.res,
+                                patch_size=self.dec_cfg.patch_size,
+                                square=self.square)
+        hw = prep["img"].shape[:2]
+
+        # re-initialization: until num_init_frames frames are seen, the map
+        # restarts from scratch including all previous init frames
+        # (reference slam/model.py:484-496)
+        if self.mem is not None and self.committed_imgs > 0 and \
+                len(self.all_images) < cfg.num_init_frames:
+            init_imgs = [v for v in self.all_images]
+            init_ids = list(self.all_timestamps)
+            self.reset()
+            replay = list(zip(init_imgs, init_ids))
+        else:
+            replay = []
+
+        if cfg.rerender or (len(self.all_images) < cfg.num_init_frames):
+            self.all_images.append(prep)
+
+        results = None
+        for p_img, p_id in replay + [(prep, frame_id)]:
+            results = self._process_one(p_img, p_id)
+        return results
+
+    def _process_one(self, prep, frame_id):
+        cfg = self.cfg
+        hw = prep["img"].shape[:2]
+        self._ensure_memory(hw)
+        is_first = self.committed_imgs == 0
+
+        img = jnp.asarray(prep["img"])[None]
+        pos = view_positions(hw, self.enc_cfg.patch_size, batch_shape=(1,))
+
+        old_len, old_imgs = self.committed_len, self.committed_imgs
+        self.mem, pm = self._step_fn(self.params, self.mem, img, pos)
+        post = self._post_fn(pm, jnp.float32(self._seq_focal()), is_first)
+
+        c2w = np.asarray(post["c2w"])
+        cam_center = c2w[:3, 3]
+        focal = float(post["focal"])
+        conf_mean = float(post["conf_mean"])
+        conf_median = float(post["conf_median"])
+
+        score = self._overlap_score(post, cam_center)
+        if "nn" in cfg.overlap_mode:
+            novel = score > cfg.keyframe_overlap_thr
+        else:
+            novel = score < cfg.keyframe_overlap_thr
+        iskeyframe = bool(is_first or
+                          (novel and conf_median > cfg.min_conf_keyframe))
+
+        if iskeyframe:
+            self.committed_len = old_len + self._n_tokens
+            self.committed_imgs = old_imgs + 1
+            self.keyframes.append(frame_id)
+            if self.overlap_tree is not None:
+                conf = np.asarray(post["sub_conf"])
+                msk = conf > cfg.min_conf_keyframe
+                if msk.sum():
+                    self.overlap_tree.add_pts(
+                        np.asarray(post["sub_pts"])[msk],
+                        cam_center=cam_center)
+            if cfg.keep_memory:
+                self.keyframe_pointmaps.append(
+                    [np.asarray(post["pts3d"]), np.asarray(prep["img"]),
+                     np.asarray(post["conf"])])
+        else:
+            # O(1) rollback of the tentative tokens
+            self.mem = truncate(self.mem, old_len, old_imgs)
+
+        self.seq_focals["f"].append(focal)
+        self.seq_focals["conf"].append(max(conf_mean - 1.0, 1e-6))
+        self.seq_focals["to_orig"].append(1.0)
+        self.all_timestamps.append(frame_id)
+        self.all_poses.append(c2w)
+        self.all_confs.append(conf_mean)
+        self.all_focals.append(focal)
+
+        return dict(pts3d=np.asarray(post["pts3d"]),
+                    pts3d_local=np.asarray(post["local"]),
+                    conf=np.asarray(post["conf"]), focal=focal, c2w=c2w,
+                    overlap_score=score, iskeyframe=iskeyframe,
+                    true_shape=hw)
+
+    # -- post-sequence ---------------------------------------------------------
+
+    def rerender_all_frames(self, max_bs: int = 8):
+        """Re-predict every stored frame against the final memory
+        (reference slam/model.py:448-478); refreshes all_poses/all_pts3d."""
+        if not self.cfg.rerender or not self.all_images:
+            return
+        n = len(self.all_images)
+        seq_focal = jnp.float32(self._seq_focal())
+        pts_all, poses = [], []
+        for i in range(0, n, max_bs):
+            chunk = self.all_images[i:i + max_bs]
+            imgs = jnp.asarray(np.stack([v["img"] for v in chunk]))
+            pos = view_positions(self._hw, self.enc_cfg.patch_size,
+                                 batch_shape=(len(chunk),))
+            x = self._encode_fn(self.params, imgs, pos)
+            pm = self._render_fn(self.params, self.mem, x[None], pos[None])
+            for j in range(len(chunk)):
+                post = self._post_fn(pm[0, j], seq_focal, False)
+                pts_all.append(np.asarray(post["pts3d"]))
+                poses.append(np.asarray(post["c2w"]))
+        self.all_pts3d = np.stack(pts_all)
+        self.all_poses = poses
+
+    def write_all_poses(self, path: str, filtering_mode: Optional[str] = None,
+                        filtering_steps: int = 5, filtering_alpha: float = 0.5,
+                        **tolog):
+        """Trajectory export (.npz: poses, timestamps, confs, focal) with
+        optional Laplacian smoothing (reference slam/model.py:408-429)."""
+        poses = np.stack(self.all_poses)
+        conf = np.asarray(self.all_confs)
+        if filtering_mode is not None:
+            assert "laplacian" in filtering_mode, filtering_mode
+            traj = poses[:, :3, 3]
+            if "conf" in filtering_mode:
+                c = (conf - conf.min()) / max(conf.max() - conf.min(), 1e-9)
+                traj = laplacian_smoothing_with_confidence(
+                    traj, c, alpha=filtering_alpha,
+                    iterations=filtering_steps)
+            else:
+                traj = laplacian_smoothing(traj, alpha=filtering_alpha,
+                                           iterations=filtering_steps)
+            poses[:, :3, 3] = traj
+        np.savez(path, poses=poses,
+                 timestamps=np.asarray(self.all_timestamps, int),
+                 confs=conf, focal=self.get_true_focal(), **tolog)
+
+    def save_memory(self, path: str):
+        """Persist the keyframe memory + map (reference pickles the torch
+        tensors; here the MemoryState pytree becomes numpy arrays)."""
+        mem_np = jax.tree.map(np.asarray, self.mem)
+        with open(path, "wb") as f:
+            pickle.dump({"memory": mem_np, "hw": self._hw,
+                         "committed": (self.committed_len,
+                                       self.committed_imgs),
+                         "keyframe_pointmaps": self.keyframe_pointmaps,
+                         "overlap_tree": self.overlap_tree}, f)
+
+    def load_memory(self, path: str):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.mem = jax.tree.map(jnp.asarray, blob["memory"])
+        self._hw = tuple(blob["hw"])
+        p = self.dec_cfg.patch_size
+        self._n_tokens = (self._hw[0] // p) * (self._hw[1] // p)
+        self.committed_len, self.committed_imgs = blob["committed"]
+        self.keyframe_pointmaps = blob["keyframe_pointmaps"]
+        self.overlap_tree = blob["overlap_tree"]

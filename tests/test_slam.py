@@ -1,0 +1,176 @@
+"""SLAM tests: native KD-tree parity, quadrant search, streaming engine."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from must3r_tpu.config import DecoderConfig, EncoderConfig, FeedbackType
+from must3r_tpu.models import init_decoder, init_encoder
+from must3r_tpu.slam import KDTree3, Must3rSLAM, QuadrantSearcher, SlamConfig
+from must3r_tpu.slam.nns import get_searcher
+from must3r_tpu.slam.tools import get_quadrant_id, laplacian_smoothing
+
+
+# ---------------------------------------------------------------------------
+# Native KD-tree
+# ---------------------------------------------------------------------------
+
+def test_native_kdtree_builds():
+    t = KDTree3()
+    assert t.native, "C++ KD-tree failed to build -- check g++ toolchain"
+
+
+def test_kdtree_matches_bruteforce(rng):
+    pts = rng.standard_normal((500, 3)).astype(np.float32)
+    q = rng.standard_normal((200, 3)).astype(np.float32)
+    t = KDTree3()
+    t.add_pts(pts)
+    got = t.query(q)
+    want = np.sqrt(((q[:, None] - pts[None]) ** 2).sum(-1)).min(1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_kdtree_incremental_add(rng):
+    a = rng.standard_normal((100, 3)).astype(np.float32)
+    b = rng.standard_normal((150, 3)).astype(np.float32) + 5.0
+    q = rng.standard_normal((50, 3)).astype(np.float32) + 2.5
+    t = KDTree3()
+    t.add_pts(a)
+    t.add_pts(b)
+    allp = np.concatenate([a, b])
+    want = np.sqrt(((q[:, None] - allp[None]) ** 2).sum(-1)).min(1)
+    np.testing.assert_allclose(t.query(q), want, rtol=1e-5, atol=1e-6)
+
+
+def test_kdtree_empty_returns_inf():
+    t = KDTree3()
+    assert np.isinf(t.query(np.zeros((3, 3), np.float32))).all()
+
+
+def test_kdtree_native_matches_scipy(rng):
+    pts = rng.standard_normal((300, 3)).astype(np.float32)
+    q = rng.standard_normal((100, 3)).astype(np.float32)
+    tn = KDTree3(prefer_native=True)
+    ts = KDTree3(prefer_native=False)
+    tn.add_pts(pts)
+    ts.add_pts(pts)
+    np.testing.assert_allclose(tn.query(q), ts.query(q), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_quadrant_searcher_visibility(rng):
+    """Points behind the camera must not satisfy queries in front of it."""
+    s = QuadrantSearcher(divider=2)
+    cam = np.zeros(3, np.float32)
+    behind = np.tile([[0.0, 0.0, -5.0]], (10, 1)).astype(np.float32)
+    s.add_pts(behind, cam_center=cam)
+    front = np.tile([[0.0, 0.0, 5.0]], (4, 1)).astype(np.float32)
+    d = s.query(front, cam_center=cam)
+    assert np.isinf(d).all()          # unseen quadrant
+    d2 = s.query(behind[:2], cam_center=cam)
+    np.testing.assert_allclose(d2, 0.0, atol=1e-6)
+
+
+def test_quadrant_id_ranges(rng):
+    rays = rng.standard_normal((1000, 3))
+    for div in (2, 4):
+        qid = get_quadrant_id(rays.copy(), div)
+        assert qid.min() >= 0 and qid.max() < 2 * div * div
+
+
+def test_laplacian_smoothing_reduces_noise(rng):
+    t = np.linspace(0, 1, 50)[:, None] * np.array([[1.0, 2.0, 0.0]])
+    noisy = t + rng.standard_normal(t.shape) * 0.05
+    sm = laplacian_smoothing(noisy, alpha=0.5, iterations=10)
+    assert np.linalg.norm(sm - t) < np.linalg.norm(noisy - t)
+    np.testing.assert_array_equal(sm[0], noisy[0])   # endpoints fixed
+
+
+def test_get_searcher_specs():
+    assert get_searcher("none") is None
+    assert isinstance(get_searcher("kdtree-scipy"), KDTree3)
+    qs = get_searcher("kdtree-scipy-quadrant_x2")
+    assert isinstance(qs, QuadrantSearcher) and qs.divider == 2
+
+
+# ---------------------------------------------------------------------------
+# Streaming engine (tiny model)
+# ---------------------------------------------------------------------------
+
+ENC_CFG = EncoderConfig(img_size=(32, 32), patch_size=16, embed_dim=64,
+                        depth=2, num_heads=2)
+DEC_CFG = DecoderConfig(img_size=(32, 32), enc_embed_dim=64, patch_size=16,
+                        embed_dim=32, output_dim=16 * 16 * 7, depth=2,
+                        num_heads=2, feedback=FeedbackType.SINGLE_MLP)
+
+
+@pytest.fixture(scope="module")
+def slam_params():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    return {"encoder": init_encoder(k1, ENC_CFG),
+            "decoder": init_decoder(k2, DEC_CFG)}
+
+
+def _frames(rng, n, h=48, w=64):
+    return [(rng.random((h, w, 3)) * 255).astype(np.uint8)
+            for _ in range(n)]
+
+
+def test_slam_streaming_smoke(slam_params, rng):
+    cfg = SlamConfig(res=32, num_init_frames=1, max_keyframes=16,
+                     kf_x_subsamp=2, keyframe_overlap_thr=0.05)
+    slam = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg,
+                      dtype=jnp.float32, impl="chunked")
+    outs = [slam(f, i) for i, f in enumerate(_frames(rng, 4))]
+    assert outs[0]["iskeyframe"]          # first frame always commits
+    assert len(slam.all_poses) == 4
+    for o in outs:
+        assert np.isfinite(o["c2w"]).all()
+        assert o["pts3d"].shape[-1] == 3
+    # memory token count consistent with committed keyframes
+    assert slam.committed_imgs == slam.num_mem_frames
+    n_tok = slam._n_tokens
+    assert slam.committed_len == slam.num_mem_frames * n_tok
+
+
+def test_slam_rollback_keeps_memory_consistent(slam_params, rng):
+    """With an impossible keyframe threshold, nothing after the first frame
+    commits and memory stays at one image."""
+    cfg = SlamConfig(res=32, num_init_frames=1, max_keyframes=16,
+                     kf_x_subsamp=2, keyframe_overlap_thr=1e12,
+                     min_conf_keyframe=1e9)
+    slam = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg,
+                      dtype=jnp.float32, impl="chunked")
+    for i, f in enumerate(_frames(rng, 3)):
+        out = slam(f, i)
+    assert slam.num_mem_frames == 1
+    assert slam.committed_imgs == 1
+    labels = np.asarray(slam.mem.labels[0])
+    assert (labels[:slam._n_tokens] == 0).all()
+    assert (labels[slam._n_tokens:] == -1).all()
+
+
+def test_slam_trajectory_export(slam_params, rng, tmp_path):
+    cfg = SlamConfig(res=32, num_init_frames=1, max_keyframes=8,
+                     kf_x_subsamp=2)
+    slam = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg,
+                      dtype=jnp.float32, impl="chunked")
+    for i, f in enumerate(_frames(rng, 3)):
+        slam(f, i)
+    p = str(tmp_path / "traj.npz")
+    slam.write_all_poses(p, filtering_mode="laplacian")
+    data = np.load(p, allow_pickle=True)
+    assert data["poses"].shape == (3, 4, 4)
+    assert data["timestamps"].tolist() == [0, 1, 2]
+
+    mp = str(tmp_path / "memory.pkl")
+    slam.save_memory(mp)
+    slam2 = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg,
+                       dtype=jnp.float32, impl="chunked")
+    slam2.load_memory(mp)
+    assert slam2.committed_imgs == slam.committed_imgs
+    np.testing.assert_array_equal(np.asarray(slam2.mem.labels),
+                                  np.asarray(slam.mem.labels))
