@@ -1,0 +1,167 @@
+"""Clean-room ASMK (Aggregated Selective Match Kernel) for image retrieval.
+
+Replaces the external Cython `asmk` + `faiss` stack the reference drives in
+`must3r/retrieval/processor.py:88-126`: codebook quantization, per-cell
+aggregation of binarized residuals, and the selective binary match kernel
+
+    sim(q, d) = sum_cells  sign(s) * |s|^alpha,   s = cos(b_q, b_d),
+
+with multiple-assignment on the query side, thresholding, and
+self-similarity normalization. All numpy on the host -- retrieval is not a
+TPU hot path (a few thousand 64-d descriptors per collection); the
+quantization matmul chunks to stay cache-friendly.
+
+The published 64k-codebook pickles require the original package's classes;
+`train_codebook` learns a fresh codebook from collection features instead
+(`codebook.npz`), which is how the trainingfree pipeline bootstraps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def train_codebook(features: np.ndarray, k: int = 1024, iters: int = 20,
+                   seed: int = 0) -> np.ndarray:
+    """K-means codebook [k, D] over local features (minibatch Lloyd)."""
+    from sklearn.cluster import MiniBatchKMeans
+
+    k = min(k, features.shape[0])
+    km = MiniBatchKMeans(n_clusters=k, n_init=3, max_iter=iters,
+                         random_state=seed, batch_size=4096)
+    km.fit(features.astype(np.float32))
+    return km.cluster_centers_.astype(np.float32)
+
+
+def _assign(features: np.ndarray, codebook: np.ndarray, topk: int,
+            chunk: int = 8192) -> np.ndarray:
+    """Indices [N, topk] of the nearest codebook cells per feature."""
+    out = np.empty((features.shape[0], topk), np.int32)
+    cb2 = (codebook ** 2).sum(-1)
+    for i in range(0, features.shape[0], chunk):
+        f = features[i:i + chunk]
+        d = (f ** 2).sum(-1, keepdims=True) - 2 * f @ codebook.T + cb2
+        if topk == 1:
+            out[i:i + chunk, 0] = np.argmin(d, axis=-1)
+        else:
+            idx = np.argpartition(d, topk - 1, axis=-1)[:, :topk]
+            ord_ = np.take_along_axis(d, idx, -1).argsort(-1)
+            out[i:i + chunk] = np.take_along_axis(idx, ord_, -1)
+    return out
+
+
+@dataclass
+class _IVF:
+    """Inverted file: per cell, the binarized aggregated residual of each
+    image that touches it."""
+    cells: Dict[int, Tuple[np.ndarray, np.ndarray]]   # cell -> (ids, bits)
+    n_images: int
+    self_sim: np.ndarray                               # [n_images]
+
+
+class ASMK:
+    """build_ivf + query with the reference's settings: binary kernel,
+    no IDF, MA=1 on the database / MA=5 on queries, alpha=3, threshold 0
+    (processor.py:88-95)."""
+
+    def __init__(self, codebook: np.ndarray, alpha: float = 3.0,
+                 similarity_threshold: float = 0.0,
+                 query_ma: int = 5, database_ma: int = 1):
+        self.codebook = np.asarray(codebook, np.float32)
+        self.alpha = alpha
+        self.tau = similarity_threshold
+        self.query_ma = min(query_ma, len(self.codebook))
+        self.database_ma = min(database_ma, len(self.codebook))
+
+    # -- database ----------------------------------------------------------
+
+    def _aggregate(self, features, ids, ma: int):
+        """Per (image, cell): binarize the sum of residuals.
+
+        Returns dict cell -> (image_ids [M], bits [M, D] bool)."""
+        assign = _assign(features, self.codebook, ma)      # [N, ma]
+        cells: Dict[int, Dict[int, np.ndarray]] = {}
+        d = features.shape[1]
+        for a in range(ma):
+            cell_of = assign[:, a]
+            residual = features - self.codebook[cell_of]
+            order = np.lexsort((ids, cell_of))
+            cs, is_, rs = cell_of[order], ids[order], residual[order]
+            # group-by (cell, image) via run boundaries
+            boundary = np.ones(len(cs), bool)
+            boundary[1:] = (cs[1:] != cs[:-1]) | (is_[1:] != is_[:-1])
+            starts = np.flatnonzero(boundary)
+            ends = np.append(starts[1:], len(cs))
+            for s, e in zip(starts, ends):
+                cell = int(cs[s])
+                img = int(is_[s])
+                agg = rs[s:e].sum(0)
+                cells.setdefault(cell, {})
+                if img in cells[cell]:
+                    cells[cell][img] = cells[cell][img] + agg
+                else:
+                    cells[cell][img] = agg
+        packed = {}
+        for cell, per_img in cells.items():
+            imgs = np.fromiter(per_img.keys(), np.int64, len(per_img))
+            bits = np.stack([per_img[i] >= 0 for i in imgs])
+            packed[cell] = (imgs, bits)
+        return packed
+
+    def build_ivf(self, features: np.ndarray, ids: np.ndarray) -> "_IVF":
+        features = np.ascontiguousarray(features, np.float32)
+        ids = np.asarray(ids, np.int64)
+        cells = self._aggregate(features, ids, self.database_ma)
+        n_images = int(ids.max()) + 1 if len(ids) else 0
+        # self-similarity for normalization: each cell contributes
+        # kernel(b, b) = 1^alpha = 1
+        self_sim = np.zeros(n_images, np.float64)
+        for cell, (imgs, bits) in cells.items():
+            np.add.at(self_sim, imgs, 1.0)
+        self_sim = np.sqrt(np.clip(self_sim, 1e-9, None))
+        return _IVF(cells=cells, n_images=n_images, self_sim=self_sim)
+
+    # -- query ---------------------------------------------------------------
+
+    def query(self, ivf: _IVF, features: np.ndarray, ids: np.ndarray
+              ) -> np.ndarray:
+        """All queries vs the database: [n_queries, n_images] scores."""
+        features = np.ascontiguousarray(features, np.float32)
+        ids = np.asarray(ids, np.int64)
+        nq = int(ids.max()) + 1 if len(ids) else 0
+        q_cells = self._aggregate(features, ids, self.query_ma)
+        d = features.shape[1]
+
+        scores = np.zeros((nq, ivf.n_images), np.float64)
+        q_self = np.zeros(nq, np.float64)
+        for cell, (q_imgs, q_bits) in q_cells.items():
+            np.add.at(q_self, q_imgs, 1.0)
+            if cell not in ivf.cells:
+                continue
+            d_imgs, d_bits = ivf.cells[cell]
+            # binary cosine in {-1,1}^D: 1 - 2*hamming/D
+            ham = (q_bits[:, None, :] != d_bits[None, :, :]).sum(-1)
+            s = 1.0 - 2.0 * ham / d
+            s = np.where(s >= self.tau,
+                         np.sign(s) * np.abs(s) ** self.alpha, 0.0)
+            scores[np.ix_(q_imgs, d_imgs)] += s
+        q_self = np.sqrt(np.clip(q_self, 1e-9, None))
+        return scores / (q_self[:, None] * ivf.self_sim[None, :])
+
+    def similarity_matrix(self, features: np.ndarray, ids: np.ndarray
+                          ) -> np.ndarray:
+        """Reference Retriever.__call__: index a collection against itself
+        and return the [n, n] score matrix (processor.py:98-126)."""
+        ivf = self.build_ivf(features, ids)
+        return self.query(ivf, features, ids)
+
+
+def save_codebook(path: str, codebook: np.ndarray):
+    np.savez(path, codebook=codebook)
+
+
+def load_codebook(path: str) -> np.ndarray:
+    return np.load(path)["codebook"]

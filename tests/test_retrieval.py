@@ -1,0 +1,124 @@
+"""Retrieval tests: whitening, selection/pooling, ASMK, FPS graph."""
+
+import numpy as np
+import pytest
+
+from must3r_tpu.retrieval import (
+    ASMK,
+    RetrievalHead,
+    farthest_point_sampling,
+    how_select_local,
+    make_pairs_fps,
+    pcawhiten_learn,
+    train_codebook,
+    weighted_spoc,
+)
+from must3r_tpu.retrieval.graph import greedy_keyframe_ordering
+from must3r_tpu.retrieval.model import identity_head, whiten
+
+import jax.numpy as jnp
+
+
+def test_pcawhiten_decorrelates(rng):
+    x = rng.standard_normal((500, 8)) @ rng.standard_normal((8, 8))
+    m, p = pcawhiten_learn(x)
+    xw = (x - m) @ p
+    cov = xw.T @ xw / len(xw)
+    np.testing.assert_allclose(cov, np.eye(8), atol=0.15)
+
+
+def test_how_select_local_topk(rng):
+    feat = jnp.asarray(rng.standard_normal((2, 10, 4)), jnp.float32)
+    attn = jnp.asarray(rng.random((2, 10)), jnp.float32)
+    f, a, idx = how_select_local(feat, attn, 3)
+    assert f.shape == (2, 3, 4)
+    want = np.sort(np.asarray(attn), axis=1)[:, -3:][:, ::-1]
+    np.testing.assert_allclose(np.asarray(a), want, rtol=1e-6)
+    # fraction mode
+    f2, _, _ = how_select_local(feat, attn, -0.5)
+    assert f2.shape == (2, 5, 4)
+
+
+def test_weighted_spoc_normalized(rng):
+    feat = jnp.asarray(rng.standard_normal((3, 7, 16)), jnp.float32)
+    attn = jnp.asarray(rng.random((3, 7)), jnp.float32)
+    g = weighted_spoc(feat, attn)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(g), axis=-1), 1.0,
+                               rtol=1e-5)
+
+
+def _clustered_features(rng, n_imgs=8, feats_per_img=40, dim=16, n_groups=2):
+    """Two groups of images; images in a group share most local features."""
+    feats, ids = [], []
+    protos = rng.standard_normal((n_groups, 20, dim)) * 3
+    for i in range(n_imgs):
+        g = i % n_groups
+        base = protos[g][rng.integers(0, 20, feats_per_img)]
+        f = base + rng.standard_normal((feats_per_img, dim)) * 0.05
+        feats.append(f.astype(np.float32))
+        ids.append(np.full(feats_per_img, i, np.int64))
+    return np.concatenate(feats), np.concatenate(ids), n_imgs, n_groups
+
+
+def test_asmk_groups_similar_images(rng):
+    feats, ids, n_imgs, n_groups = _clustered_features(rng)
+    cb = train_codebook(feats, k=32)
+    asmk = ASMK(cb)
+    scores = asmk.similarity_matrix(feats, ids)
+    assert scores.shape == (n_imgs, n_imgs)
+    # self-similarity should dominate
+    assert (np.argmax(scores, axis=1) == np.arange(n_imgs)).all()
+    # same-group scores above cross-group scores
+    same, cross = [], []
+    for i in range(n_imgs):
+        for j in range(n_imgs):
+            if i == j:
+                continue
+            (same if i % n_groups == j % n_groups else cross).append(
+                scores[i, j])
+    assert np.mean(same) > 3.0 * np.mean(cross)
+
+
+def test_asmk_normalization_bounds(rng):
+    feats, ids, n_imgs, _ = _clustered_features(rng, n_imgs=4)
+    cb = train_codebook(feats, k=16)
+    scores = ASMK(cb).similarity_matrix(feats, ids)
+    assert scores.max() <= 1.0 + 1e-6
+
+
+def test_fps_covers_space(rng):
+    pts = np.concatenate([rng.standard_normal((20, 2)),
+                          rng.standard_normal((20, 2)) + 10.0])
+    dist = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+    idx, _ = farthest_point_sampling(dist, n=2, seed=0)
+    # the two samples must come from different clusters
+    assert (idx[0] < 20) != (idx[1] < 20)
+
+
+def test_make_pairs_fps_connectivity(rng):
+    n = 12
+    sim = rng.random((n, n))
+    sim = (sim + sim.T) / 2
+    np.fill_diagonal(sim, 1.0)
+    pairs, keys = make_pairs_fps(sim, na=4, topk=1, seed=0)
+    assert len(keys) == 4
+    # every image appears in at least one pair
+    seen = set()
+    for a, b in pairs:
+        seen.update((a, b))
+    assert seen == set(range(n))
+
+
+def test_greedy_ordering_visits_all(rng):
+    sim = rng.random((6, 6))
+    order = greedy_keyframe_ordering(sim)
+    assert sorted(order) == list(range(6))
+
+
+def test_identity_head_local_features(rng):
+    head = identity_head(32, nfeat=5)
+    toks = [rng.standard_normal((10, 32)).astype(np.float32)
+            for _ in range(3)]
+    feats, ids = head.extract_local_features(toks)
+    assert feats.shape == (15, 32)
+    np.testing.assert_array_equal(np.unique(ids), [0, 1, 2])
