@@ -171,6 +171,43 @@ def update_label_tokens(mem: MemoryState, label, new_kv: jax.Array,
                        protected_tokens=mem.protected_tokens)
 
 
+def refresh_label_from_segment(mem: MemoryState, old_label, seg_start,
+                               n_tokens: int) -> MemoryState:
+    """Copy the KV values of the contiguous segment
+    [seg_start, seg_start + n_tokens) over the slots carrying
+    ``old_label``, without touching labels or counters.
+
+    With a following :func:`evict_label` of the segment's label this
+    implements the reference's keyframe-refresh bookkeeping in
+    `inference_video_multi_ar` (`_update_in_mem` + `_remove_from_mem`,
+    inference.py:204-227). Label 0 (the reference image) is never updated
+    (values kept), matching the reference's skip."""
+    new_kv = jax.lax.dynamic_slice(
+        mem.kv, (0, 0, 0, seg_start, 0),
+        (*mem.kv.shape[:3], n_tokens, mem.kv.shape[4]))
+    hit = mem.labels[0] == jnp.int32(old_label)
+    pos0 = jnp.argmax(hit).astype(jnp.int32)
+    existing = jax.lax.dynamic_slice(
+        mem.kv, (0, 0, 0, pos0, 0),
+        (*mem.kv.shape[:3], n_tokens, mem.kv.shape[4]))
+    ok = jnp.any(hit) & (jnp.int32(old_label) > 0)
+    blk = jnp.where(ok, new_kv, existing)
+    kv = jax.lax.dynamic_update_slice(mem.kv, blk, (0, 0, 0, pos0, 0))
+    return MemoryState(kv=kv, labels=mem.labels, length=mem.length,
+                       n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
+                       protected_tokens=mem.protected_tokens)
+
+
+def set_n_imgs(mem: MemoryState, n_imgs) -> MemoryState:
+    """Host-driven label counter override (the reference resets
+    mem_nimgs = len(img_labels) after video bookkeeping,
+    inference.py:341)."""
+    return MemoryState(kv=mem.kv, labels=mem.labels, length=mem.length,
+                       n_imgs=jnp.int32(n_imgs),
+                       protected_imgs=mem.protected_imgs,
+                       protected_tokens=mem.protected_tokens)
+
+
 def compact(mem: MemoryState) -> MemoryState:
     """Pack live tokens to the front, reclaiming evicted holes.
 
