@@ -59,18 +59,23 @@ def save_checkpoint(path: str, params, enc_cfg: EncoderConfig,
         json.dump(meta, f)
 
 
-def load_checkpoint(path: str):
-    """Returns (params, enc_cfg, dec_cfg, opt_state_or_None, meta)."""
+def load_checkpoint(path: str, template=None):
+    """Returns (params, enc_cfg, dec_cfg, opt_state_or_None, meta).
+
+    Pass ``template`` = {'params': ..., 'opt_state': ...} (live pytrees) to
+    restore into the exact container types (e.g. optax NamedTuple states);
+    without it, orbax returns plain nested dicts/lists."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     ckptr = ocp.PyTreeCheckpointer()
-    tree = ckptr.restore(os.path.join(path, "state"))
+    tree = ckptr.restore(os.path.join(path, "state"), item=template)
     enc_cfg = config_from_json(meta["encoder_config"])
     dec_cfg = config_from_json(meta["decoder_config"])
-    return (tree["params"], enc_cfg, dec_cfg, tree.get("opt_state"), meta)
+    opt_state = tree.get("opt_state") if isinstance(tree, dict) else None
+    return (tree["params"], enc_cfg, dec_cfg, opt_state, meta)
 
 
 def latest_checkpoint(output_dir: str) -> Optional[str]:

@@ -1,0 +1,55 @@
+"""Shared CLI helpers: model construction/loading for all entry points."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def load_or_init_model(chkpt: Optional[str], preset: str = "512",
+                       img_size: Optional[int] = None, seed: int = 0):
+    """Load a checkpoint (native dir or reference .pth) or random-init a
+    preset. Returns (params, enc_cfg, dec_cfg)."""
+    from must3r_tpu.config import must3r_224_configs, must3r_512_configs, set_image_size
+    from must3r_tpu.models import init_decoder, init_encoder
+
+    if chkpt:
+        if os.path.isdir(chkpt):
+            from must3r_tpu.checkpoint import load_checkpoint
+            params, enc_cfg, dec_cfg, _, _ = load_checkpoint(chkpt)
+        else:
+            from must3r_tpu.checkpoint import convert_torch_checkpoint
+            params, enc_cfg, dec_cfg = convert_torch_checkpoint(
+                chkpt, img_size=img_size)
+        return params, enc_cfg, dec_cfg
+
+    if preset == "tiny":
+        # smoke-test scale (CI / CPU)
+        from must3r_tpu.config import DecoderConfig, EncoderConfig
+        enc_cfg = EncoderConfig(img_size=(64, 64), patch_size=16,
+                                embed_dim=64, depth=2, num_heads=2)
+        dec_cfg = DecoderConfig(img_size=(64, 64), enc_embed_dim=64,
+                                patch_size=16, embed_dim=32,
+                                output_dim=16 * 16 * 7, depth=2,
+                                num_heads=2)
+    else:
+        enc_cfg, dec_cfg = (must3r_224_configs() if preset == "224"
+                            else must3r_512_configs())
+    if img_size is not None:
+        enc_cfg = set_image_size(enc_cfg, img_size)
+        dec_cfg = set_image_size(dec_cfg, img_size)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    params = {"encoder": init_encoder(k1, enc_cfg),
+              "decoder": init_decoder(k2, dec_cfg)}
+    return params, enc_cfg, dec_cfg
+
+
+def make_core(params, enc_cfg, dec_cfg, amp: str = "bf16"):
+    from must3r_tpu.engine import InferenceCore
+
+    dtype = jnp.bfloat16 if amp == "bf16" else jnp.float32
+    return InferenceCore(params["encoder"], params["decoder"], enc_cfg,
+                         dec_cfg, dtype=dtype)

@@ -1,0 +1,83 @@
+"""Headless reconstruction CLI (reference `get_reconstruction.py` +
+headless `demo.py`): images in -> GLB/PLY at several confidence
+thresholds + pickled SceneState out."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("must3r reconstruct")
+    p.add_argument("--chkpt", default=None,
+                   help="checkpoint dir (native) or .pth (reference)")
+    p.add_argument("--preset", default="512", choices=["224", "512", "tiny"])
+    p.add_argument("--input", required=True,
+                   help="image folder or list file")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--num_mem_images", type=int, default=20)
+    p.add_argument("--init_num_images", type=int, default=2)
+    p.add_argument("--retrieval", default=None,
+                   help="retrieval checkpoint (.pth) for keyframe selection")
+    p.add_argument("--is_sequence", action="store_true")
+    p.add_argument("--num_refinements_iterations", type=int, default=0)
+    p.add_argument("--max_bs", type=int, default=8)
+    p.add_argument("--conf_thrs", type=float, nargs="+",
+                   default=[1.5, 3.0, 5.0])
+    p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
+    return p
+
+
+def main(argv=None):
+    args = get_args_parser().parse_args(argv)
+    from must3r_tpu.cli.common import load_or_init_model, make_core
+    from must3r_tpu.demo import must3r_inference, scene_to_glb, scene_to_ply
+    from must3r_tpu.tools.image import list_images, load_images
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    if os.path.isdir(args.input):
+        paths = list_images(args.input)
+    else:
+        with open(args.input) as f:
+            paths = [ln.strip() for ln in f
+                     if ln.strip() and not ln.startswith("#")]
+    print(f"found {len(paths)} images")
+
+    params, enc_cfg, dec_cfg = load_or_init_model(
+        args.chkpt, args.preset, img_size=args.image_size)
+    core = make_core(params, enc_cfg, dec_cfg, args.amp)
+
+    retrieval_head = None
+    if args.retrieval:
+        from must3r_tpu.retrieval.model import convert_torch_retrieval_checkpoint
+        retrieval_head = convert_torch_retrieval_checkpoint(args.retrieval)
+
+    views = load_images(paths, args.image_size, verbose=True)
+    # single-bucket constraint for the fused path: group by stored shape
+    shapes = {v["img"].shape for v in views}
+    assert len(shapes) == 1, (
+        f"mixed aspect buckets {shapes}: run per-bucket (multi-AR routing "
+        "is handled by the library API, see engine.inference)")
+
+    scene = must3r_inference(
+        core, views, num_mem_images=args.num_mem_images,
+        init_num_images=args.init_num_images,
+        is_sequence=args.is_sequence, retrieval_head=retrieval_head,
+        num_refinements_iterations=args.num_refinements_iterations,
+        encode_bs=args.max_bs, render_bs=args.max_bs, verbose=True)
+
+    with open(os.path.join(args.output_dir, "scene.pkl"), "wb") as f:
+        pickle.dump(scene, f)
+    for thr in args.conf_thrs:
+        glb = os.path.join(args.output_dir, f"scene_conf{thr:g}.glb")
+        ply = os.path.join(args.output_dir, f"scene_conf{thr:g}.ply")
+        scene_to_glb(scene, glb, conf_thr=thr)
+        scene_to_ply(scene, ply, conf_thr=thr)
+        print(f"wrote {glb} and {ply}")
+
+
+if __name__ == "__main__":
+    main()

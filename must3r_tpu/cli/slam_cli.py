@@ -1,0 +1,87 @@
+"""Online SLAM / visual odometry CLI (reference `slam.py` headless mode):
+video / webcam / image-folder in -> trajectory npz (+ memory pickle,
+optional rerender), FPS logging."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("must3r slam")
+    p.add_argument("--chkpt", default=None)
+    p.add_argument("--preset", default="512", choices=["224", "512", "tiny"])
+    p.add_argument("--input", nargs="+", required=True,
+                   help="video file(s), 'cam:N', or image folder(s)")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--res", type=int, default=512)
+    p.add_argument("--subsamp", type=int, default=2)
+    p.add_argument("--keyframe_overlap_thr", type=float, default=0.05)
+    p.add_argument("--min_conf_keyframe", type=float, default=1.5)
+    p.add_argument("--overlap_percentile", type=float, default=85.0)
+    p.add_argument("--num_init_frames", type=int, default=1)
+    p.add_argument("--max_keyframes", type=int, default=256)
+    p.add_argument("--rerender", action="store_true")
+    p.add_argument("--save_memory", action="store_true")
+    p.add_argument("--load_memory", default=None)
+    p.add_argument("--filtering_mode", default=None,
+                   help="e.g. laplacian or laplacian-conf")
+    p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--max_frames", type=int, default=None)
+    return p
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    args = get_args_parser().parse_args(argv)
+    from must3r_tpu.cli.common import load_or_init_model
+    from must3r_tpu.slam import Must3rSLAM, SlamConfig
+    from must3r_tpu.slam.data import AutoMultiLoader
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    params, enc_cfg, dec_cfg = load_or_init_model(args.chkpt, args.preset,
+                                                  img_size=args.res)
+    cfg = SlamConfig(res=args.res,
+                     keyframe_overlap_thr=args.keyframe_overlap_thr,
+                     min_conf_keyframe=args.min_conf_keyframe,
+                     overlap_percentile=args.overlap_percentile,
+                     num_init_frames=args.num_init_frames,
+                     max_keyframes=args.max_keyframes,
+                     rerender=args.rerender)
+    dtype = jnp.bfloat16 if args.amp == "bf16" else jnp.float32
+    slam = Must3rSLAM(params, enc_cfg, dec_cfg, cfg, dtype=dtype)
+    if args.load_memory:
+        slam.load_memory(args.load_memory)
+
+    loader = AutoMultiLoader(args.input, subsamp=args.subsamp)
+    t0 = time.time()
+    n = 0
+    for frame, fid, cam in loader:
+        out = slam(frame, fid, cam)
+        n += 1
+        if n % 60 == 0:
+            fps = n / (time.time() - t0)
+            print(f"frame {fid}: fps={fps:.2f} keyframes="
+                  f"{slam.num_mem_frames} overlap={out['overlap_score']:.3f}")
+        if args.max_frames and n >= args.max_frames:
+            break
+    loader.release()
+    elapsed = time.time() - t0
+    fps = n / max(elapsed, 1e-9)
+    print(f"processed {n} frames in {elapsed:.1f}s ({fps:.2f} fps), "
+          f"{slam.num_mem_frames} keyframes")
+
+    if args.rerender:
+        slam.rerender_all_frames()
+    slam.write_all_poses(os.path.join(args.output_dir, "all_poses.npz"),
+                         filtering_mode=args.filtering_mode,
+                         fps=fps, nframes=n)
+    if args.save_memory:
+        slam.save_memory(os.path.join(args.output_dir, "memory.pkl"))
+
+
+if __name__ == "__main__":
+    main()

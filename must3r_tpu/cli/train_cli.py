@@ -1,0 +1,139 @@
+"""Training CLI (reference `train.py`): typed flags instead of eval()'d
+constructor strings; dataset specs still accept the reference's algebra
+('10*SyntheticScenes(...) + SyntheticScenes(...)') through a restricted
+expression parser over registered dataset classes."""
+
+from __future__ import annotations
+
+import argparse
+import ast
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("must3r train")
+    p.add_argument("--preset", default="512", choices=["224", "512", "tiny"])
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--chkpt", default=None,
+                   help="init weights (native dir or reference .pth)")
+    p.add_argument("--dataset", required=True,
+                   help="e.g. \"SyntheticScenes(num_views=6, "
+                        "resolutions=((64,48),), epoch_size=64)\"")
+    p.add_argument("--output_dir", default="./output")
+    # schedule / curriculum (reference flags)
+    p.add_argument("--memory_num_views", type=int, default=4)
+    p.add_argument("--min_memory_num_views", type=int, default=2)
+    p.add_argument("--memory_batch_views", type=int, default=None)
+    p.add_argument("--causal", action="store_true", default=False)
+    p.add_argument("--render_once", action="store_true", default=False)
+    # optimization
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--accum_iter", type=int, default=1)
+    p.add_argument("--blr", type=float, default=1.5e-4)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--min_lr", type=float, default=0.0)
+    p.add_argument("--warmup_epochs", type=float, default=1.0)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--finetune_encoder", action="store_true", default=False)
+    p.add_argument("--mem_dropout", type=float, default=0.0)
+    p.add_argument("--dropout_mode", default="temporary",
+                   choices=["temporary", "permanent"])
+    p.add_argument("--loss_in_log", action="store_true", default=False)
+    p.add_argument("--alpha", type=float, default=0.2)
+    p.add_argument("--amp", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--num_workers", type=int, default=2)
+    p.add_argument("--keep_freq", type=int, default=5)
+    p.add_argument("--print_freq", type=int, default=20)
+    return p
+
+
+def build_dataset(spec: str):
+    """Parse the reference's dataset algebra over registered classes with
+    literal kwargs -- no eval()."""
+    from must3r_tpu import datasets as ds_mod
+
+    registry = {"SyntheticScenes": ds_mod.SyntheticScenes}
+    try:
+        from must3r_tpu.datasets.co3d import Co3d
+        registry["Co3d"] = Co3d
+    except Exception:
+        pass
+    try:
+        from must3r_tpu.datasets.scannetpp import ScanNetpp
+        registry["ScanNetpp"] = ScanNetpp
+    except Exception:
+        pass
+
+    def build(node):
+        if isinstance(node, ast.BinOp):
+            if isinstance(node.op, ast.Add):
+                return build(node.left) + build(node.right)
+            if isinstance(node.op, ast.Mult):
+                if isinstance(node.left, ast.Constant):
+                    return node.left.value * build(node.right)
+                return build(node.left) * node.right.value
+            if isinstance(node.op, ast.MatMult):
+                if isinstance(node.right, ast.Constant):
+                    return build(node.left) @ node.right.value
+                return build(node.right) @ node.left.value
+            raise ValueError(f"unsupported operator {node.op}")
+        if isinstance(node, ast.Call):
+            name = node.func.id
+            assert name in registry, f"unknown dataset {name}"
+            kwargs = {kw.arg: ast.literal_eval(kw.value)
+                      for kw in node.keywords}
+            args = [ast.literal_eval(a) for a in node.args]
+            return registry[name](*args, **kwargs)
+        raise ValueError(f"cannot parse dataset node {ast.dump(node)}")
+
+    return build(ast.parse(spec, mode="eval").body)
+
+
+def main(argv=None):
+    import jax
+
+    args = get_args_parser().parse_args(argv)
+    from must3r_tpu.cli.common import load_or_init_model
+    from must3r_tpu.config import DecoderConfig
+    import dataclasses as dc
+
+    from must3r_tpu.datasets import get_data_loader
+    from must3r_tpu.engine.loop import Trainer, TrainLoopConfig
+    from must3r_tpu.engine.train import TrainSettings
+
+    params, enc_cfg, dec_cfg = load_or_init_model(
+        args.chkpt, args.preset, img_size=args.image_size, seed=args.seed)
+    dec_cfg = dc.replace(dec_cfg, causal=True,
+                         mem_dropout=args.mem_dropout,
+                         dropout_mode=args.dropout_mode)
+
+    dataset = build_dataset(args.dataset)
+    loader = get_data_loader(dataset, args.batch_size,
+                             num_workers=args.num_workers,
+                             patch_size=dec_cfg.patch_size)
+
+    ts = TrainSettings(
+        finetune_encoder=args.finetune_encoder,
+        dropout_p=args.mem_dropout, dropout_mode=args.dropout_mode,
+        alpha=args.alpha, loss_in_log=args.loss_in_log, dtype=args.amp)
+    cfg = TrainLoopConfig(
+        epochs=args.epochs, warmup_epochs=args.warmup_epochs, blr=args.blr,
+        lr=args.lr, min_lr=args.min_lr, weight_decay=args.weight_decay,
+        accum_iter=args.accum_iter, batch_size=args.batch_size,
+        memory_num_views=args.memory_num_views,
+        min_memory_num_views=args.min_memory_num_views,
+        memory_batch_views=args.memory_batch_views, causal=args.causal,
+        render_once=args.render_once, keep_freq=args.keep_freq,
+        print_freq=args.print_freq, seed=args.seed,
+        output_dir=args.output_dir)
+
+    trainer = Trainer(enc_cfg, dec_cfg, params, loader, cfg, ts,
+                      n_devices=jax.device_count())
+    stats = trainer.train()
+    print("final:", stats)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,302 @@
+"""Full training loop: curriculum, schedules, logging, checkpointing.
+
+Parity target: reference `must3r/engine/train.py` --
+  * `select_batch` curriculum (:132-216): with more dataset views than
+    `memory_num_views`, the usable view count grows linearly with epoch
+    progress; a random prefix is processed without gradient
+    (`train_decoder_skip`); causal mode groups views into blocks of
+    `memory_batch_views`, non-causal processes 1-by-1 after the init pair;
+    rendered views = half unseen + half random seen (static count).
+  * per-iteration cosine LR with warmup, AdamW(0.9, 0.95), grad
+    accumulation, NaN kill-switch, smoothed metric logging, JSON-lines
+    log.txt, checkpoint-last / periodic / final with auto-resume
+    (:295-510, io.py).
+
+TPU adaptations: each distinct (mem_batches, skip, n_render, n_views)
+schedule compiles once and is cached; the curriculum draws from a bounded
+schedule set so compile count stays small. Data parallelism = sharded batch
+on the mesh 'dp' axis (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import sys
+import time
+from collections import defaultdict, deque
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from must3r_tpu.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from must3r_tpu.engine.train import (
+    TrainSettings,
+    cosine_schedule,
+    effective_lr,
+    make_optimizer,
+    make_train_step,
+)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum schedule selection (reference select_batch)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+    n_views: int                  # views consumed from the sample
+    mem_batches: Tuple[int, ...]  # grouping incl. skipped prefix
+    skip_batches: int             # leading entries of mem_batches run no-grad
+    render_ids: Tuple[int, ...]   # views to render (static count)
+
+
+def select_schedule(rng: np.random.Generator, nimgs: int,
+                    memory_num_views: int, min_memory_num_views: int,
+                    progress: float, causal: bool,
+                    memory_batch_views: Optional[int],
+                    render_once: bool, sample_memory_num_views: int
+                    ) -> Schedule:
+    """Pick this iteration's schedule (mirrors train.py:132-216).
+
+    Structure of a sample: [no-grad memory prefix (to_skip)] +
+    [grad memory views (mem_views)] + [unseen render-only views]. In the
+    curriculum regime (more dataset views than memory_num_views) the usable
+    view count grows with progress and the no-grad prefix is random; the
+    reference shadows `memory_num_views` with the per-step grad view count.
+    """
+    to_skip = 0
+    if memory_num_views < nimgs:
+        mem_views = 1
+        max_views = math.ceil(memory_num_views
+                              + progress * (nimgs - memory_num_views))
+        max_views = min(max_views, nimgs)
+        to_skip = int(rng.integers(max_views - min_memory_num_views + 1))
+        if to_skip < min_memory_num_views:
+            to_skip = 0
+            mem_views = min_memory_num_views
+        n_views = min(to_skip + mem_views + memory_num_views, max_views)
+        mem_views = min(mem_views, n_views - to_skip)
+    else:
+        mem_views = min(sample_memory_num_views, nimgs)
+        n_views = nimgs
+
+    def blocks(count, lead_pair: bool):
+        out = []
+        if count <= 0:
+            return out
+        if causal and memory_batch_views:
+            while sum(out) != count:
+                out.append(min(memory_batch_views, count - sum(out)))
+        elif causal:
+            out = [count]
+        else:
+            f = min(min_memory_num_views, count) if lead_pair else 1
+            out = [f] + [1] * (count - f)
+        return out
+
+    skip_blocks = blocks(to_skip, lead_pair=True)
+    mem_blocks = blocks(mem_views, lead_pair=(to_skip == 0))
+
+    seen = to_skip + mem_views
+    unseen = list(range(seen, n_views))
+    if render_once:
+        render = unseen if unseen else [n_views - 1]
+        # pad to a fixed count for static shapes
+        want = max(len(unseen), 1)
+        render = (render + [render[-1]] * want)[:want]
+    else:
+        k = math.ceil(memory_num_views / 2)
+        rng.shuffle(unseen)
+        render = unseen[:k]
+        pool = rng.permutation(seen)[:memory_num_views - len(render)]
+        render = render + [int(v) for v in pool]
+        if not render:
+            render = [n_views - 1]
+    return Schedule(n_views=n_views,
+                    mem_batches=tuple(skip_blocks + mem_blocks),
+                    skip_batches=len(skip_blocks),
+                    render_ids=tuple(int(v) for v in render))
+
+
+# ---------------------------------------------------------------------------
+# Metric logging
+# ---------------------------------------------------------------------------
+
+class MetricLogger:
+    """Smoothed console meters + JSON-lines file (croco MetricLogger and
+    the reference's per-epoch log.txt, train.py:322-330)."""
+
+    def __init__(self, window: int = 50, log_path: Optional[str] = None):
+        self.meters = defaultdict(lambda: deque(maxlen=window))
+        self.log_path = log_path
+
+    def update(self, **kv):
+        for k, v in kv.items():
+            self.meters[k].append(float(v))
+
+    def smoothed(self) -> Dict[str, float]:
+        return {k: float(np.mean(v)) for k, v in self.meters.items() if v}
+
+    def line(self) -> str:
+        return "  ".join(f"{k}={v:.4f}" for k, v in self.smoothed().items())
+
+    def write_epoch(self, epoch: int, extra: Optional[Dict] = None):
+        if not self.log_path:
+            return
+        rec = {"epoch": epoch, **self.smoothed(), **(extra or {})}
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TrainLoopConfig:
+    epochs: int = 10
+    warmup_epochs: float = 1.0
+    blr: float = 1.5e-4
+    lr: Optional[float] = None
+    min_lr: float = 0.0
+    weight_decay: float = 0.05
+    accum_iter: int = 1
+    batch_size: int = 2
+    memory_num_views: int = 10
+    min_memory_num_views: int = 2
+    memory_batch_views: Optional[int] = None
+    causal: bool = True
+    render_once: bool = False
+    keep_freq: int = 5
+    print_freq: int = 20
+    seed: int = 777
+    output_dir: str = "./output"
+
+
+class Trainer:
+    def __init__(self, enc_cfg, dec_cfg, params, loader, cfg: TrainLoopConfig,
+                 ts: TrainSettings, n_devices: int = 1,
+                 impl: Optional[str] = None):
+        self.enc_cfg, self.dec_cfg = enc_cfg, dec_cfg
+        self.loader = loader
+        self.cfg = cfg
+        self.ts = ts
+        self.impl = impl
+        self.params = params
+
+        steps_per_epoch = max(len(loader) // cfg.accum_iter, 1)
+        lr = cfg.lr or effective_lr(cfg.blr, cfg.batch_size, n_devices,
+                                    cfg.accum_iter)
+        sched = cosine_schedule(lr, int(cfg.warmup_epochs * steps_per_epoch),
+                                cfg.epochs * steps_per_epoch, cfg.min_lr)
+        self.lr_fn = sched
+        opt = make_optimizer(sched, cfg.weight_decay)
+        if cfg.accum_iter > 1:
+            opt = optax.MultiSteps(opt, every_k_schedule=cfg.accum_iter)
+        self.optimizer = opt
+        self.opt_state = opt.init(params)
+        self.start_epoch = 0
+        self._steps = {}
+        self._opt_updates = 0
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        self.logger = MetricLogger(
+            log_path=os.path.join(cfg.output_dir, "log.txt"))
+        self.rng = np.random.default_rng(cfg.seed)
+        self.key = jax.random.PRNGKey(cfg.seed)
+
+    # -- schedule-shaped jitted steps ----------------------------------------
+
+    def _get_step(self, sched: Schedule):
+        key = (sched.mem_batches, sched.skip_batches, len(sched.render_ids))
+        if key not in self._steps:
+            ts = dataclasses.replace(self.ts,
+                                     mem_batches=sched.mem_batches,
+                                     train_decoder_skip=sched.skip_batches,
+                                     n_render=len(sched.render_ids))
+            self._steps[key] = make_train_step(
+                self.enc_cfg, self.dec_cfg, ts, self.optimizer,
+                impl=self.impl, donate=True)
+        return self._steps[key]
+
+    # -- checkpointing ---------------------------------------------------------
+
+    def save(self, epoch: int, tag: str):
+        path = os.path.join(self.cfg.output_dir, f"checkpoint-{tag}")
+        save_checkpoint(path, self.params, self.enc_cfg, self.dec_cfg,
+                        opt_state=self.opt_state if tag != "final" else None,
+                        step=epoch + 1)
+
+    def try_resume(self) -> bool:
+        last = os.path.join(self.cfg.output_dir, "checkpoint-last")
+        if not os.path.isfile(os.path.join(last, "meta.json")):
+            return False
+        template = {"params": self.params, "opt_state": self.opt_state}
+        params, _, _, opt_state, meta = load_checkpoint(last, template)
+        self.params = params
+        if opt_state is not None:
+            self.opt_state = opt_state
+        self.start_epoch = int(meta["step"])
+        print(f"resumed from {last} at epoch {self.start_epoch}")
+        return True
+
+    # -- epochs -------------------------------------------------------------------
+
+    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        self.loader.set_epoch(epoch)
+        t0 = time.time()
+        for it, batch in enumerate(self.loader):
+            progress = (epoch + it / max(len(self.loader), 1)) / cfg.epochs
+            nimgs = batch["img"].shape[1]
+            sched = select_schedule(
+                self.rng, nimgs, cfg.memory_num_views,
+                cfg.min_memory_num_views, progress, cfg.causal,
+                cfg.memory_batch_views, cfg.render_once,
+                batch.get("memory_num_views", nimgs))
+
+            cut = {k: (v[:, :sched.n_views]
+                       if hasattr(v, "ndim") and v.ndim >= 2
+                       and v.shape[1] == nimgs else v)
+                   for k, v in batch.items() if k != "memory_num_views"}
+            cut["render_ids"] = jnp.asarray(sched.render_ids, jnp.int32)
+            cut = {k: jnp.asarray(v) if not isinstance(v, jnp.ndarray)
+                   else v for k, v in cut.items()}
+
+            self.key, sub = jax.random.split(self.key)
+            step = self._get_step(sched)
+            self.params, self.opt_state, loss, details = step(
+                self.params, self.opt_state, cut, sub)
+
+            loss_val = float(loss)
+            if not math.isfinite(loss_val):
+                print(f"Loss is {loss_val}, stopping training")
+                sys.exit(1)
+            self._opt_updates += 1
+            lr_now = float(self.lr_fn(self._opt_updates // cfg.accum_iter))
+            self.logger.update(loss=loss_val, lr=lr_now,
+                               **{k: float(v) for k, v in details.items()})
+            if (it + 1) % cfg.print_freq == 0:
+                rate = (it + 1) / (time.time() - t0)
+                print(f"epoch {epoch} [{it + 1}/{len(self.loader)}] "
+                      f"{self.logger.line()}  it/s={rate:.2f}")
+        stats = self.logger.smoothed()
+        self.logger.write_epoch(epoch)
+        return stats
+
+    def train(self):
+        cfg = self.cfg
+        self.try_resume()
+        for epoch in range(self.start_epoch, cfg.epochs):
+            stats = self.train_one_epoch(epoch)
+            self.save(epoch, "last")
+            if cfg.keep_freq and (epoch + 1) % cfg.keep_freq == 0:
+                self.save(epoch, str(epoch + 1))
+            print(f"epoch {epoch} done: {stats}")
+        self.save(cfg.epochs - 1, "final")
+        return self.logger.smoothed()

@@ -38,12 +38,28 @@ IMG_MEAN = 0.5
 IMG_STD = 0.5
 
 
+def resolution_table(maxdim, patch_size: int = 16):
+    """Bucket table for a max dimension; falls back to buckets derived from
+    the 512-table ratios for sizes outside the reference table."""
+    if isinstance(maxdim, dict):
+        return maxdim
+    if maxdim in RATIOS_RESOLUTIONS:
+        return RATIOS_RESOLUTIONS[maxdim]
+    assert maxdim % patch_size == 0, maxdim
+    out = {}
+    for r in (1.0, *RATIOS_RESOLUTIONS[512].keys()):
+        short = round(maxdim / r / patch_size) * patch_size
+        if short >= patch_size:
+            out[maxdim / short] = (maxdim, short)
+    return out
+
+
 def get_hw_resolution(h: int, w: int, maxdim, patch_size: int = 16
                       ) -> Tuple[int, int]:
     """Pick the bucket resolution for an image: nearest aspect ratio in the
     maxdim table; portrait images use the transposed buckets. Returns (H, W).
     """
-    table = maxdim if isinstance(maxdim, dict) else RATIOS_RESOLUTIONS[maxdim]
+    table = resolution_table(maxdim, patch_size)
     ratio = w / h
     keys = np.array(list(table.keys()))
     landscape = w >= h
@@ -61,7 +77,7 @@ def get_resize_function(maxdim, patch_size: int, h: int, w: int,
     the bucket shape; the 3x3 matrices map homogeneous pixel coordinates
     original->rescaled and back (reference tools/image.py:56-93).
     """
-    table = maxdim if isinstance(maxdim, dict) else RATIOS_RESOLUTIONS[maxdim]
+    table = resolution_table(maxdim, patch_size)
     if (max(h, w), min(h, w)) in {tuple(v) for v in table.values()}:
         return (lambda x: x), np.eye(3), np.eye(3)
 
