@@ -54,17 +54,9 @@ def build_dataset(spec: str):
     literal kwargs -- no eval()."""
     from must3r_tpu import datasets as ds_mod
 
-    registry = {"SyntheticScenes": ds_mod.SyntheticScenes}
-    try:
-        from must3r_tpu.datasets.co3d import Co3d
-        registry["Co3d"] = Co3d
-    except Exception:
-        pass
-    try:
-        from must3r_tpu.datasets.scannetpp import ScanNetpp
-        registry["ScanNetpp"] = ScanNetpp
-    except Exception:
-        pass
+    registry = {"SyntheticScenes": ds_mod.SyntheticScenes,
+                "Co3d": ds_mod.Co3d, "ScanNetpp": ds_mod.ScanNetpp,
+                "SceneDirDataset": ds_mod.SceneDirDataset}
 
     def build(node):
         if isinstance(node, ast.BinOp):

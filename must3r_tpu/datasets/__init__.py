@@ -8,6 +8,7 @@ from must3r_tpu.datasets.base import (  # noqa: F401
     make_view,
 )
 from must3r_tpu.datasets.loader import collate_views, get_data_loader  # noqa: F401
+from must3r_tpu.datasets.scenedir import Co3d, ScanNetpp, SceneDirDataset  # noqa: F401
 from must3r_tpu.datasets.synthetic import SyntheticScenes  # noqa: F401
 from must3r_tpu.datasets.tuple_maker import (  # noqa: F401
     fill_views,

@@ -294,6 +294,104 @@ def offline_reconstruction(core: InferenceCore, imgs, img_hw=None,
 
 
 # ---------------------------------------------------------------------------
+# Mixed aspect-ratio routing (reference stack_views, inference.py:64-135)
+# ---------------------------------------------------------------------------
+
+def group_views_by_shape(views: Sequence[dict]):
+    """Group view dicts by stored image shape. Returns
+    {shape: [view indices]} preserving order within groups."""
+    groups = {}
+    for i, vw in enumerate(views):
+        groups.setdefault(tuple(vw["img"].shape[:2]), []).append(i)
+    return groups
+
+
+def offline_reconstruction_multi_ar(core: InferenceCore,
+                                    views: Sequence[dict],
+                                    mem_views: Optional[Sequence[int]] = None,
+                                    init_num_images: int = 2,
+                                    encode_bs: int = 8, render_bs: int = 8,
+                                    compute_cam: bool = True,
+                                    capacity_slack: int = 4):
+    """Offline reconstruction over a mixed-aspect-ratio collection.
+
+    Per-bucket compiled executables + host routing replace the reference's
+    runtime tensor lists (`forward_list`, `stack_views`): encode per
+    bucket, update the SHARED memory view-by-view (the init pair is joint
+    when it shares a bucket, else sequential -- reference forward_list
+    processes mixed-AR init jointly; the sequential fallback differs only
+    in that image 0 does not see image 1 during its own update), then
+    render per bucket.
+
+    Args:
+      views: dicts with 'img' [H, W, 3] (landscape storage), 'portrait'.
+    Returns: list of per-view postprocess dicts (input order).
+    """
+    import numpy as np
+
+    v = len(views)
+    mem_views = list(mem_views) if mem_views is not None else list(range(v))
+    patch = core.dec_cfg.patch_size
+
+    # per-view positions + encoder tokens, grouped per bucket
+    x = [None] * v
+    pos = [None] * v
+    for shape, ids in group_views_by_shape(views).items():
+        imgs = jnp.asarray(np.stack([views[i]["img"] for i in ids]))
+        port = jnp.asarray([bool(views[i].get("portrait")) for i in ids])
+        p = view_positions(shape, patch, port, batch_shape=(len(ids),))
+        toks = core.encode_all(imgs, p, max_bs=encode_bs)
+        for j, i in enumerate(ids):
+            x[i] = toks[j]
+            pos[i] = p[j]
+
+    def n_tokens(i):
+        h, w = views[i]["img"].shape[:2]
+        return (h // patch) * (w // patch)
+
+    total_tokens = sum(n_tokens(i) for i in mem_views)
+    cap = round_capacity(total_tokens + capacity_slack * max(
+        n_tokens(i) for i in mem_views), 512)
+    mem = init_memory(core.dec_cfg.depth, 1, core.dec_cfg.num_heads,
+                      core.dec_cfg.head_dim, cap, dtype=core.dtype)
+
+    # update phase: joint init when the bucket matches, then 1-by-1
+    init = mem_views[:init_num_images]
+    rest = mem_views[init_num_images:]
+    init_shapes = {tuple(views[i]["img"].shape[:2]) for i in init}
+    if len(init_shapes) == 1 and len(init) > 1:
+        xb = jnp.stack([x[i] for i in init])[None]
+        pb = jnp.stack([pos[i] for i in init])[None]
+        mem, _ = core.update(mem, xb, pb)
+    else:
+        for i in init:
+            mem, _ = core.update(mem, x[i][None, None], pos[i][None, None])
+    for i in rest:
+        mem, _ = core.update(mem, x[i][None, None], pos[i][None, None])
+
+    # render phase per bucket, padded chunks
+    results = [None] * v
+    for shape, ids in group_views_by_shape(views).items():
+        port = jnp.asarray([bool(views[i].get("portrait")) for i in ids])
+        for s in range(0, len(ids), render_bs):
+            chunk = ids[s:s + render_bs]
+            pad = render_bs - len(chunk) if len(ids) > render_bs else 0
+            chunk_p = chunk + [chunk[-1]] * pad
+            xb = jnp.stack([x[i] for i in chunk_p])[None]
+            pb = jnp.stack([pos[i] for i in chunk_p])[None]
+            toks = core.render(mem, xb, pb)
+            pm = core.head(toks, shape,
+                           jnp.asarray([bool(views[i].get("portrait"))
+                                        for i in chunk_p])[None])
+            out = postprocess(pm[0], core.dec_cfg.pointmaps_activation,
+                              compute_cam=compute_cam)
+            for j, i in enumerate(chunk):
+                results[i] = {k: np.asarray(val[j]) for k, val in
+                              out.items()}
+    return results
+
+
+# ---------------------------------------------------------------------------
 # Fused single-program pipeline (uniform-AR fast path)
 # ---------------------------------------------------------------------------
 
