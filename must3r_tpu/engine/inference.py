@@ -122,7 +122,27 @@ class InferenceCore:
 
     def __init__(self, enc_params, dec_params, enc_cfg: EncoderConfig,
                  dec_cfg: DecoderConfig, dtype=jnp.bfloat16,
-                 enc_dtype=None, impl: Optional[str] = None):
+                 enc_dtype=None, impl: Optional[str] = None,
+                 cast_params: bool = True):
+        if cast_params:
+            # pre-cast weights to the compute dtype so the executables
+            # don't re-convert 400M fp32 params on every dispatch.
+            # LayerNorm params (1D) and the fp32 islands (patch_embed,
+            # prediction head) keep full precision.
+            def cast_tree(p, target, keep=()):
+                def leaf(x):
+                    if x.ndim >= 2 and jnp.issubdtype(x.dtype,
+                                                      jnp.floating):
+                        return x.astype(target)
+                    return x
+
+                return {k: (v if k in keep else jax.tree.map(leaf, v))
+                        for k, v in p.items()}
+
+            enc_params = cast_tree(
+                enc_params, dtype if enc_dtype is None else enc_dtype,
+                keep=("patch_embed",))
+            dec_params = cast_tree(dec_params, dtype, keep=("head_proj",))
         self.enc_params = enc_params
         self.dec_params = dec_params
         self.enc_cfg = enc_cfg

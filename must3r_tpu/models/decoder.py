@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from must3r_tpu.config import DecoderConfig, FeedbackType
 from must3r_tpu.memory import INT32_MAX, MemoryState, commit_images
 from must3r_tpu.models.layers import (
+    cross_attn,
     decoder_block,
     init_decoder_block,
     init_layer_norm,
@@ -44,6 +45,7 @@ from must3r_tpu.models.layers import (
     linear,
     mlp,
     prepare_kv,
+    self_attn,
 )
 from must3r_tpu.ops.patch import unpatchify
 from must3r_tpu.ops.rope import make_rope_tables
@@ -290,12 +292,33 @@ def decoder_render(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
     x = _embed(params, cfg, x_enc, mem.n_imgs, False, dtype)
     rope = _rope(cfg, pos)
 
+    # render applies no per-image masks, so every view's queries see the
+    # same KV set: fold G into the token axis for the cross-attention --
+    # one big MXU dot per KV block instead of G small ones (SA stays
+    # per-image). extra_mask (dropout) is per-image and keeps the G axis.
+    flatten_g = extra_mask is None and g > 1
+
     def body(x, inp):
         blk, li = inp
-        x = decoder_block(blk, x, mem.kv, rope, mem.labels,
-                          kv_len=mem.length, extra_mask=extra_mask, layer=li,
-                          num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
-                          impl=impl)
+        if flatten_g:
+            xf = x.reshape(b * g, n, cfg.embed_dim)
+            rope_f = (rope[0].reshape(b * g, *rope[0].shape[-3:]),
+                      rope[1].reshape(b * g, *rope[1].shape[-3:]))
+            sa = self_attn(blk["attn"],
+                           layer_norm(blk["norm1"], xf, cfg.ln_eps),
+                           rope=rope_f, num_heads=cfg.num_heads, impl=impl)
+            x = x + sa.reshape(b, g, n, cfg.embed_dim)
+            xg = x.reshape(b, 1, g * n, cfg.embed_dim)
+            ca = cross_attn(blk, xg, mem.kv, mem.labels, kv_len=mem.length,
+                            layer=li, num_heads=cfg.num_heads,
+                            ln_eps=cfg.ln_eps, impl=impl)
+            x = x + ca.reshape(b, g, n, cfg.embed_dim)
+            x = x + mlp(blk["mlp"], layer_norm(blk["norm3"], x, cfg.ln_eps))
+        else:
+            x = decoder_block(blk, x, mem.kv, rope, mem.labels,
+                              kv_len=mem.length, extra_mask=extra_mask,
+                              layer=li, num_heads=cfg.num_heads,
+                              ln_eps=cfg.ln_eps, impl=impl)
         return x, None
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], jnp.arange(cfg.depth)))

@@ -132,12 +132,15 @@ def _sa_chunked(q, k, v, chunk: int = 1024):
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
 
-def _sa_pallas(q, k, v, block_q: int = 512, block_k: int = 512,
+def _sa_pallas(q, k, v, block_q: int = 1024, block_k: int = 1024,
                interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, h, dh = q.shape
+    # shrink blocks to the sequence when it avoids padding entirely
+    if n <= block_q and n % 128 == 0:
+        block_q = block_k = n
     scale = 1.0 / math.sqrt(dh)
     qt = q.transpose(0, 2, 1, 3)  # B,H,N,Dh
     kt = k.transpose(0, 2, 1, 3)
@@ -157,15 +160,19 @@ def _sa_pallas(q, k, v, block_q: int = 512, block_k: int = 512,
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, k_pad), (0, 0)))
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
-        qb = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, Dh)
+        # keep q/k/v in their storage dtype (bf16 in production) for the
+        # MXU dots -- accumulation is fp32 via preferred_element_type;
+        # fp32 operands would run the MXU at 1/4 rate
+        qb = q_ref[0, 0]
         m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
         l = jnp.zeros((bq, 1), jnp.float32)
         acc = jnp.zeros((bq, dh), jnp.float32)
         for j in range(n_k):
-            kb = k_ref[0, 0, j * bk:(j + 1) * bk, :].astype(jnp.float32)
-            vb = v_ref[0, 0, j * bk:(j + 1) * bk, :].astype(jnp.float32)
+            kb = k_ref[0, 0, j * bk:(j + 1) * bk, :]
+            vb = v_ref[0, 0, j * bk:(j + 1) * bk, :]
             s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
+            s = s * scale
             if k_pad and j == n_k - 1:
                 col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
                 s = jnp.where(col < bk - k_pad, s, _NEG_INF)
@@ -173,7 +180,8 @@ def _sa_pallas(q, k, v, block_q: int = 512, block_k: int = 512,
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m - m_new)
             l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * corr + jnp.dot(p, vb, preferred_element_type=jnp.float32)
+            acc = acc * corr + jnp.dot(p.astype(vb.dtype), vb,
+                                       preferred_element_type=jnp.float32)
             m = m_new
         o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
@@ -311,7 +319,8 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
 
 
 def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
-               block_k: int = 512, interpret: bool = False):
+               block_k: int = 512, block_q: int = 1024,
+               interpret: bool = False):
     """Flash CA kernel over the packed KV cache.
 
     The cache stays in HBM; (k|v) blocks are DMA'd as one contiguous stream
@@ -339,6 +348,12 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
     scale = 1.0 / math.sqrt(dh)
 
     qt = q.transpose(0, 1, 3, 2, 4)  # B,G,H,N,Dh
+    # tile the query axis so the f32 score block (bq x bk) fits VMEM
+    bq = min(block_q, n)
+    n_qb = -(-n // bq)
+    q_pad = n_qb * bq - n
+    if q_pad:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, 0), (0, q_pad), (0, 0)))
     len_and_layer = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
                                jnp.asarray(layer, jnp.int32).reshape(())])
     q_self = q_self.astype(jnp.int32)
@@ -356,7 +371,7 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
         n_blocks = jnp.maximum(pl.cdiv(length, bk), 1)
         qs = qself_ref[bi, gi]
         qu = qupper_ref[bi, gi]
-        qb = q_ref[0, 0, 0].astype(jnp.float32) * scale  # (N, Dh)
+        qb = q_ref[0, 0, 0]                               # (N, Dh)
 
         def dma_kv(slot, idx):
             return pltpu.make_async_copy(
@@ -385,37 +400,41 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
             dma_kv(slot, i).wait()
             dma_l(slot, i).wait()
 
-            kb = kv_buf[slot, :, :dh].astype(jnp.float32)  # (bk, Dh)
-            vb = kv_buf[slot, :, dh:].astype(jnp.float32)
+            kb = kv_buf[slot, :, :dh]                      # (bk, Dh)
+            vb = kv_buf[slot, :, dh:]
             lbl = lbl_buf[slot]                            # (1, bk)
+            # bf16 MXU dot, fp32 accumulation (fp32 operands = 1/4 rate)
             s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
+            s = s * scale
             allow = (lbl >= 0) & (lbl != qs) & (lbl < qu)  # (1, bk)
             s = jnp.where(allow, s, _NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m - m_new)
             l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * corr + jnp.dot(p, vb, preferred_element_type=jnp.float32)
+            acc = acc * corr + jnp.dot(p.astype(vb.dtype), vb,
+                                       preferred_element_type=jnp.float32)
             return (m_new, l, acc)
 
-        m0 = jnp.full((n, 1), _NEG_INF, jnp.float32)
-        l0 = jnp.zeros((n, 1), jnp.float32)
-        acc0 = jnp.zeros((n, dh), jnp.float32)
+        m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc0 = jnp.zeros((bq, dh), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
         o_ref[0, 0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, g, h),
+        grid=(b, g, h, n_qb),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, n, dh),
-                         lambda bi, gi, hi, *_: (bi, gi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, bq, dh),
+                         lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, n, dh),
-                               lambda bi, gi, hi, *_: (bi, gi, hi, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, 1, bq, dh),
+                               lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi,
+                                                           0)),
         scratch_shapes=[
             pltpu.VMEM((2, bk, 2 * dh), kv.dtype),
             pltpu.VMEM((2, 1, bk), jnp.int32),
@@ -425,10 +444,13 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, g, h, n, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, g, h, n_qb * bq, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"),
         ),
         interpret=interpret,
     )(len_and_layer, q_self, q_upper, qt, kv, labels)
+    if q_pad:
+        out = out[:, :, :, :n, :]
     return out.transpose(0, 1, 3, 2, 4)
