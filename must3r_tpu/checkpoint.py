@@ -187,6 +187,83 @@ def convert_decoder_state_dict(sd: Dict[str, Any], cfg: DecoderConfig):
     return params
 
 
+_DUST3R_RENAMES = (
+    # dust3r/croco key prefix -> must3r prefix (reference
+    # encoder.py:54-65, decoder.py:83-96 from_dust3r/from_croco)
+    ("enc_blocks.", "blocks_enc."),
+    ("enc_norm.", "norm_enc."),
+    ("dec_blocks.", "blocks_dec."),
+    ("decoder_embed.", "feat_embed_enc_to_dec."),
+    ("dec_norm.", "norm_dec."),
+    ("downstream_head.proj.", "head_dec.proj."),
+)
+
+
+def rename_dust3r_keys(sd: Dict[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for k, v in sd.items():
+        for old, new in _DUST3R_RENAMES:
+            if k.startswith(old):
+                k = new + k[len(old):]
+                break
+        out[k] = v
+    return out
+
+
+def init_from_dust3r(path: str, enc_cfg: EncoderConfig,
+                     dec_cfg: DecoderConfig, key=None,
+                     load_head: bool = False):
+    """Initialize encoder+decoder from a dust3r/croco checkpoint
+    (training warm start; reference train.py:274-293). Keys are remapped;
+    parameters the reference model lacks (norm_y, cross-attn projections
+    renamed, feedback, head) keep their fresh initialization -- mirroring
+    the reference's strict=False load."""
+    import jax
+    import torch
+
+    from must3r_tpu.models import init_decoder, init_encoder
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    params = {"encoder": init_encoder(k1, enc_cfg),
+              "decoder": init_decoder(k2, dec_cfg)}
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    sd = rename_dust3r_keys({k: v.float().numpy() for k, v in sd.items()})
+
+    # encoder is fully covered by dust3r checkpoints
+    try:
+        params["encoder"] = convert_encoder_state_dict(sd, enc_cfg)
+        enc_loaded = True
+    except KeyError:
+        enc_loaded = False
+
+    # decoder: merge whatever keys exist (dust3r decoder lacks norm_y and
+    # uses a joint cross-attn naming; missing pieces stay fresh)
+    dec_loaded = 0
+    dec = params["decoder"]
+    if "feat_embed_enc_to_dec.weight" in sd:
+        dec["feat_embed"] = _lin(sd, "feat_embed_enc_to_dec")
+        dec_loaded += 1
+    if "norm_dec.weight" in sd:
+        dec["norm_dec"] = _ln(sd, "norm_dec")
+        dec_loaded += 1
+    if load_head and "head_dec.proj.weight" in sd:
+        dec["head_proj"] = _lin(sd, "head_dec.proj")
+        dec_loaded += 1
+    blocks = None
+    try:
+        blocks = convert_decoder_state_dict(sd, dec_cfg)["blocks"]
+    except KeyError:
+        pass
+    if blocks is not None:
+        dec["blocks"] = blocks
+        dec_loaded += 1
+    return params, {"encoder_loaded": enc_loaded,
+                    "decoder_parts_loaded": dec_loaded}
+
+
 def convert_torch_checkpoint(path: str, img_size: Optional[int] = None
                              ) -> Tuple[dict, EncoderConfig, DecoderConfig]:
     """Load a reference `.pth` checkpoint: parse the stored constructor
