@@ -50,3 +50,9 @@ def replicate(mesh: Mesh, tree):
 def constrain(x, mesh: Mesh, *spec):
     """with_sharding_constraint shorthand."""
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+
+from must3r_tpu.parallel.sharded_attention import (  # noqa: E402,F401
+    shard_memory,
+    sharded_memory_cross_attention,
+)

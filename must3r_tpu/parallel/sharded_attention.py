@@ -1,0 +1,110 @@
+"""Memory-sharded cross-attention: sequence parallelism over the KV cache.
+
+SURVEY §5.7: the long-context axis of MUSt3R is the memory token count
+(Nmem = keyframes x tokens/view x 12 layers). When Nmem outgrows one
+chip's HBM -- or per-frame latency must scale with chips -- the memory is
+sharded along its token axis across the mesh 'sp' axis and cross-attention
+runs as an all-gather-free blockwise pass:
+
+  each shard computes a partial flash accumulation (m_i, l_i, acc_i) over
+  its local tokens, then one combine renormalizes:
+
+      m   = pmax_i m_i
+      l   = sum_i l_i * exp(m_i - m)
+      out = sum_i acc_i * exp(m_i - m) / l
+
+  -- exactly the online-softmax merge, so the result is bit-comparable to
+  unsharded attention up to float addition order. Communication is one
+  psum over [*, N, H, Dh] activations; the KV cache itself never moves.
+
+This is the TPU-native counterpart of ring attention for this workload:
+queries are tiny (one view) and the KV cache is huge and static, so
+replicating queries + reducing outputs beats rotating KV blocks.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from must3r_tpu.ops.attention import _NEG_INF, INT32_MAX
+
+
+def _partial_flash(q, kv, labels, q_self, q_upper):
+    """Unnormalized flash partials over this shard's tokens.
+
+    q: [B, G, N, H, Dh]; kv: [B, H, S_loc, 2*Dh]; labels: [B, S_loc].
+    Returns (m [B,G,H,N,1], l [B,G,H,N,1], acc [B,G,H,N,Dh])."""
+    b, g, n, h, dh = q.shape
+    k, v = jnp.split(kv, 2, axis=-1)
+    qf = q.astype(jnp.float32).transpose(0, 1, 3, 2, 4)   # B,G,H,N,Dh
+    s = jnp.einsum("bghnd,bhsd->bghns", qf, k.astype(jnp.float32))
+    s = s * (1.0 / math.sqrt(dh))
+    lb = labels[:, None, :]
+    allow = (lb >= 0) & (lb != q_self[..., None]) & (lb < q_upper[..., None])
+    s = jnp.where(allow[:, :, None, None, :], s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    # guard all-masked shards: exp(-inf - (-inf)) -> use finite sentinel
+    m_safe = jnp.maximum(m, -1e30)
+    p = jnp.exp(s - m_safe)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.einsum("bghns,bhsd->bghnd", p, v.astype(jnp.float32))
+    return m_safe, l, acc
+
+
+def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
+                                   q_upper=None, axis: str = "sp"):
+    """Label-masked CA against a memory sharded over `axis` along S.
+
+    Args:
+      q: [B, G, N, H, Dh] replicated queries.
+      kv: [B, H, S, 2*Dh] -- S sharded over `axis` on the mesh.
+      labels: [B, S] -- sharded like kv (evicted slots = -1 keep masking
+        correct on every shard).
+    Returns [B, G, N, H, Dh] replicated.
+    """
+    b, g = q.shape[:2]
+    if q_self is None:
+        q_self = jnp.full((b, g), -2, jnp.int32)
+    if q_upper is None:
+        q_upper = jnp.full((b, g), INT32_MAX, jnp.int32)
+
+    def local(qv, kvv, lab, qs, qu):
+        m, l, acc = _partial_flash(qv, kvv, lab, qs, qu)
+        gm = jax.lax.pmax(m, axis)
+        corr = jnp.exp(m - gm)
+        gl = jax.lax.psum(l * corr, axis)
+        gacc = jax.lax.psum(acc * corr, axis)
+        out = gacc / jnp.maximum(gl, 1e-30)
+        return out.transpose(0, 1, 3, 2, 4).astype(qv.dtype)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, None, axis, None), P(None, axis), P(), P()),
+        out_specs=P(),
+    )(q, kv, labels, q_self, q_upper)
+
+
+def shard_memory(mesh: Mesh, mem, axis: str = "sp"):
+    """Place a MemoryState with its token axis sharded over `axis`.
+
+    The capacity must divide the axis size; append positions stay global
+    (dynamic_update_slice across shards is handled by GSPMD)."""
+    kv_sharding = NamedSharding(mesh, P(None, None, None, axis, None))
+    lab_sharding = NamedSharding(mesh, P(None, axis))
+    rep = NamedSharding(mesh, P())
+    import dataclasses
+
+    return dataclasses.replace(
+        mem,
+        kv=jax.device_put(mem.kv, kv_sharding),
+        labels=jax.device_put(mem.labels, lab_sharding),
+        length=jax.device_put(mem.length, rep),
+        n_imgs=jax.device_put(mem.n_imgs, rep),
+        protected_imgs=jax.device_put(mem.protected_imgs, rep),
+        protected_tokens=jax.device_put(mem.protected_tokens, rep))

@@ -1,0 +1,71 @@
+"""Sequence-parallel memory cross-attention on an 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from must3r_tpu.memory import init_memory
+from must3r_tpu.ops.attention import INT32_MAX, memory_cross_attention, pack_kv
+from must3r_tpu.parallel.sharded_attention import (
+    shard_memory,
+    sharded_memory_cross_attention,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8
+    import numpy as np
+
+    return Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("sp",))
+
+
+def test_sharded_ca_matches_unsharded(mesh, rng):
+    b, g, n, h, dh, s = 1, 2, 8, 2, 16, 64
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, s, dh)), jnp.float32)
+    kv = pack_kv(k, v)
+    labels = np.full((b, s), -1, np.int32)
+    labels[:, :40] = rng.integers(0, 5, size=(b, 40))
+    labels = jnp.asarray(labels)
+    q_self = jnp.asarray([[1, -2]], jnp.int32)
+    q_upper = jnp.asarray([[4, INT32_MAX]], jnp.int32)
+
+    want = memory_cross_attention(q, kv, labels, q_self=q_self,
+                                  q_upper=q_upper, impl="chunked")
+    with mesh:
+        got = sharded_memory_cross_attention(mesh, q, kv, labels, q_self,
+                                             q_upper)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_sharded_ca_handles_empty_shards(mesh, rng):
+    """Shards whose slots are all invalid must not poison the combine."""
+    b, g, n, h, dh, s = 1, 1, 4, 1, 8, 64
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((b, h, s, 2 * dh)), jnp.float32)
+    labels = np.full((b, s), -1, np.int32)
+    labels[:, :8] = 0           # only the first shard has live tokens
+    labels = jnp.asarray(labels)
+    want = memory_cross_attention(q, kv, labels, impl="chunked")
+    with mesh:
+        got = sharded_memory_cross_attention(mesh, q, kv, labels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_shard_memory_placement(mesh):
+    mem = init_memory(depth=2, batch=1, num_heads=2, head_dim=8,
+                      capacity=64, dtype=jnp.float32)
+    with mesh:
+        smem = shard_memory(mesh, mem)
+    # token axis sharded 8-ways
+    shard_shapes = {sh.data.shape for sh in smem.kv.addressable_shards}
+    assert shard_shapes == {(2, 1, 2, 8, 16)}
+    lab_shapes = {sh.data.shape for sh in smem.labels.addressable_shards}
+    assert lab_shapes == {(1, 8)}
