@@ -63,6 +63,10 @@ def make_forward(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
     Returns pred dict over the V_loss = (non-skipped memory views) + R views,
     ordered first-pass-then-rendered like the reference's `concat_preds`.
     """
+    # training differentiates through attention: use the pure-XLA
+    # online-softmax path (the Pallas kernels are forward-only; a
+    # custom-VJP pallas-forward/recompute-backward variant is future work)
+    impl = impl or "chunked"
     dtype = jnp.dtype(ts.dtype)
     n_mem = sum(ts.mem_batches)
     n_skip = sum(ts.mem_batches[:ts.train_decoder_skip])
