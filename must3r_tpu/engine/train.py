@@ -63,10 +63,9 @@ def make_forward(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
     Returns pred dict over the V_loss = (non-skipped memory views) + R views,
     ordered first-pass-then-rendered like the reference's `concat_preds`.
     """
-    # training differentiates through attention: use the pure-XLA
-    # online-softmax path (the Pallas kernels are forward-only; a
-    # custom-VJP pallas-forward/recompute-backward variant is future work)
-    impl = impl or "chunked"
+    # attention is differentiable on every path: impl='pallas' runs the
+    # TPU kernels forward with an XLA-recompute backward (custom VJP);
+    # with token dropout the CA falls back to the XLA path automatically
     dtype = jnp.dtype(ts.dtype)
     n_mem = sum(ts.mem_batches)
     n_skip = sum(ts.mem_batches[:ts.train_decoder_skip])

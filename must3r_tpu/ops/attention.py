@@ -47,6 +47,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 _NEG_INF = -1e30
@@ -88,13 +89,35 @@ def self_attention(q, k, v, impl: Optional[str] = None):
       q, k, v: [B, N, H, Dh].
     Returns:
       [B, N, H, Dh], dtype of q.
+
+    impl='pallas' is differentiable: the forward runs the TPU kernel, the
+    backward rematerializes through the XLA online-softmax path (flash
+    recompute -- no scores matrix is ever stored).
     """
     impl = impl or _default_impl()
     if impl == "pallas":
-        return _sa_pallas(q, k, v)
+        return _sa_hybrid(q, k, v)
     if impl == "chunked":
         return _sa_chunked(q, k, v)
     return attention_reference(q, k, v)
+
+
+@jax.custom_vjp
+def _sa_hybrid(q, k, v):
+    return _sa_pallas(q, k, v)
+
+
+def _sa_hybrid_fwd(q, k, v):
+    return _sa_pallas(q, k, v), (q, k, v)
+
+
+def _sa_hybrid_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_sa_chunked, q, k, v)
+    return vjp(g)
+
+
+_sa_hybrid.defvjp(_sa_hybrid_fwd, _sa_hybrid_bwd)
 
 
 def _sa_chunked(q, k, v, chunk: int = 1024):
@@ -257,10 +280,41 @@ def memory_cross_attention(q, kv, labels, q_self=None, q_upper=None,
         kv_len = jnp.int32(s_cap)
     impl = impl or _default_impl()
     if impl == "pallas" and extra_mask is None:
-        return _ca_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer)
+        # differentiable: pallas forward, XLA-recompute backward
+        return _ca_hybrid(q, kv5, labels, q_self, q_upper, kv_len, layer)
     k, v = jnp.split(jax.lax.dynamic_index_in_dim(kv5, layer, 0, False),
                      2, axis=-1)
     return _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask)
+
+
+def _ca_chunked_from_packed(q, kv5, labels, q_self, q_upper, layer):
+    k, v = jnp.split(jax.lax.dynamic_index_in_dim(kv5, layer, 0, False),
+                     2, axis=-1)
+    return _ca_chunked(q, k, v, labels, q_self, q_upper, None)
+
+
+@jax.custom_vjp
+def _ca_hybrid(q, kv5, labels, q_self, q_upper, kv_len, layer):
+    return _ca_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer)
+
+
+def _ca_hybrid_fwd(q, kv5, labels, q_self, q_upper, kv_len, layer):
+    out = _ca_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer)
+    return out, (q, kv5, labels, q_self, q_upper, layer)
+
+
+def _ca_hybrid_bwd(res, g):
+    q, kv5, labels, q_self, q_upper, layer = res
+    _, vjp = jax.vjp(
+        lambda q_, kv_: _ca_chunked_from_packed(q_, kv_, labels, q_self,
+                                                q_upper, layer), q, kv5)
+    dq, dkv = vjp(g)
+    zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+    return (dq, dkv, zero(labels), zero(q_self), zero(q_upper),
+            zero(jnp.asarray(0, jnp.int32)), zero(jnp.asarray(0, jnp.int32)))
+
+
+_ca_hybrid.defvjp(_ca_hybrid_fwd, _ca_hybrid_bwd)
 
 
 def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
