@@ -18,6 +18,7 @@ def get_args_parser():
     p.add_argument("--num_views", type=int, nargs="+", default=[2, 4])
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--pose_eval", action="store_true", default=False)
     p.add_argument("--output", default=None, help="json report path")
     return p
 
@@ -36,7 +37,8 @@ def main(argv=None):
     loader = get_data_loader(dataset, args.batch_size,
                              patch_size=dec_cfg.patch_size)
     report = evaluate(core, loader, num_views_list=args.num_views,
-                      max_batches=args.max_batches)
+                      max_batches=args.max_batches,
+                      pose_eval=args.pose_eval)
     if args.output:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
         with open(args.output, "w") as f:

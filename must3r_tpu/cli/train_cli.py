@@ -34,6 +34,7 @@ def get_args_parser():
     p.add_argument("--min_lr", type=float, default=0.0)
     p.add_argument("--warmup_epochs", type=float, default=1.0)
     p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--layer_decay", type=float, default=None)
     p.add_argument("--finetune_encoder", action="store_true", default=False)
     p.add_argument("--mem_dropout", type=float, default=0.0)
     p.add_argument("--dropout_mode", default="temporary",
@@ -118,6 +119,7 @@ def main(argv=None):
         min_memory_num_views=args.min_memory_num_views,
         memory_batch_views=args.memory_batch_views, causal=args.causal,
         render_once=args.render_once, keep_freq=args.keep_freq,
+        layer_decay=args.layer_decay,
         print_freq=args.print_freq, seed=args.seed,
         output_dir=args.output_dir)
 

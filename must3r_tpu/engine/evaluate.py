@@ -49,21 +49,78 @@ def _forward_views(core: InferenceCore, batch, num_mem_views: int,
     }
 
 
+def pose_metrics(pred_c2w: np.ndarray, gt_c2w: np.ndarray,
+                 thresholds=(5, 15, 30)):
+    """Multi-view relative pose accuracy (CO3D/RealEstate-style eval):
+    for every ordered camera pair, the relative-rotation and
+    relative-translation angular errors; reports RRA@t / RTA@t and
+    AUC@30 of min(RRA, RTA) over thresholds 1..30 degrees.
+
+    pred/gt: [V, 4, 4] c2w. Translation is compared by direction
+    (up-to-scale), the standard protocol for monocular methods."""
+    import itertools
+
+    v = pred_c2w.shape[0]
+    r_errs, t_errs = [], []
+    for i, j in itertools.combinations(range(v), 2):
+        def rel(poses):
+            a = np.linalg.inv(poses[i]) @ poses[j]
+            return a[:3, :3], a[:3, 3]
+
+        rp, tp = rel(pred_c2w)
+        rg, tg = rel(gt_c2w)
+        dr = rp @ rg.T
+        cos = np.clip((np.trace(dr) - 1) / 2, -1.0, 1.0)
+        r_errs.append(np.degrees(np.arccos(cos)))
+        np_, ng = np.linalg.norm(tp), np.linalg.norm(tg)
+        if np_ < 1e-9 or ng < 1e-9:
+            t_errs.append(0.0 if np_ < 1e-9 and ng < 1e-9 else 180.0)
+        else:
+            cost = np.clip(tp @ tg / (np_ * ng), -1.0, 1.0)
+            t_errs.append(np.degrees(np.arccos(cost)))
+    r_errs = np.asarray(r_errs)
+    t_errs = np.asarray(t_errs)
+    out = {}
+    for t in thresholds:
+        out[f"rra@{t}"] = float((r_errs < t).mean())
+        out[f"rta@{t}"] = float((t_errs < t).mean())
+    both = np.maximum(r_errs, t_errs)
+    # AUC@30: mean over tau in 1..30 of accuracy at tau
+    taus = np.arange(1, 31)
+    acc = (both[None, :] < taus[:, None]).mean(axis=1)
+    out["auc@30"] = float(acc.mean() * 100.0)
+    return out
+
+
 def evaluate(core: InferenceCore, loader,
              num_views_list: Sequence[int] = (2, 4),
              norm_mode: str = "?avg_dis", max_batches: Optional[int] = None,
+             pose_eval: bool = False,
              verbose: bool = True) -> Dict[str, Dict[str, float]]:
     """Returns {f'views{k}': {'l21_global_mean', 'l21_global_median',
-    'l21_local_mean', 'l21_local_median'}}."""
+    'l21_local_mean', 'l21_local_median'[, pose RRA/RTA/AUC]}}."""
+    from must3r_tpu.ops.pose import make_c2w, rigid_points_registration
+
     report = {}
     for k in num_views_list:
         per_view_g: List[np.ndarray] = []
         per_view_l: List[np.ndarray] = []
+        pose_accs: List[Dict[str, float]] = []
         for bi, batch in enumerate(loader):
             if max_batches is not None and bi >= max_batches:
                 break
             pred = _forward_views(core, batch, num_mem_views=min(
                 k, batch["img"].shape[1]))
+            if pose_eval:
+                b, v = pred["pts3d"].shape[:2]
+                r, t = rigid_points_registration(
+                    pred["pts3d_local"].reshape(b, v, -1, 3),
+                    pred["pts3d"].reshape(b, v, -1, 3),
+                    weights=pred["conf"].reshape(b, v, -1) - 1.0)
+                c2w = np.asarray(make_c2w(r, t))
+                gt_c2w = np.asarray(batch["camera_pose"])
+                for e in range(b):
+                    pose_accs.append(pose_metrics(c2w[e], gt_c2w[e]))
             gt = {
                 "pts3d": jnp.asarray(batch["pts3d"]),
                 "camera_pose": jnp.asarray(batch["camera_pose"]),
@@ -92,6 +149,11 @@ def evaluate(core: InferenceCore, loader,
             "l21_local_mean": float(flat_l.mean()),
             "l21_local_median": float(np.median(flat_l)),
         }
+        if pose_accs:
+            keys = pose_accs[0].keys()
+            report[f"views{k}"].update(
+                {m: float(np.mean([p[m] for p in pose_accs]))
+                 for m in keys})
         if verbose:
             print(f"views={k}: {report[f'views{k}']}")
     return report

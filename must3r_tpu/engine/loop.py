@@ -154,6 +154,30 @@ class MetricLogger:
             f.write(json.dumps(rec) + "\n")
 
 
+class TensorBoardWriter:
+    """Optional tf.summary writer (reference rank-0 SummaryWriter,
+    train.py:340-343,495-505); no-op when tensorflow is unavailable."""
+
+    def __init__(self, logdir: Optional[str]):
+        self._writer = None
+        if logdir:
+            try:
+                import tensorflow as tf
+
+                self._writer = tf.summary.create_file_writer(logdir)
+            except Exception:
+                self._writer = None
+
+    def scalars(self, step: int, **kv):
+        if self._writer is None:
+            return
+        import tensorflow as tf
+
+        with self._writer.as_default():
+            for k, v in kv.items():
+                tf.summary.scalar(k, float(v), step=step)
+
+
 # ---------------------------------------------------------------------------
 # Trainer
 # ---------------------------------------------------------------------------
@@ -166,6 +190,7 @@ class TrainLoopConfig:
     lr: Optional[float] = None
     min_lr: float = 0.0
     weight_decay: float = 0.05
+    layer_decay: Optional[float] = None
     accum_iter: int = 1
     batch_size: int = 2
     memory_num_views: int = 10
@@ -196,7 +221,8 @@ class Trainer:
         sched = cosine_schedule(lr, int(cfg.warmup_epochs * steps_per_epoch),
                                 cfg.epochs * steps_per_epoch, cfg.min_lr)
         self.lr_fn = sched
-        opt = make_optimizer(sched, cfg.weight_decay)
+        opt = make_optimizer(sched, cfg.weight_decay,
+                             layer_decay=cfg.layer_decay)
         if cfg.accum_iter > 1:
             opt = optax.MultiSteps(opt, every_k_schedule=cfg.accum_iter)
         self.optimizer = opt
@@ -207,6 +233,7 @@ class Trainer:
         os.makedirs(cfg.output_dir, exist_ok=True)
         self.logger = MetricLogger(
             log_path=os.path.join(cfg.output_dir, "log.txt"))
+        self.tb = TensorBoardWriter(os.path.join(cfg.output_dir, "tb"))
         self.rng = np.random.default_rng(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
 
@@ -282,6 +309,12 @@ class Trainer:
             self.logger.update(loss=loss_val, lr=lr_now,
                                **{k: float(v) for k, v in details.items()})
             if (it + 1) % cfg.print_freq == 0:
+                # epoch_1000x axis calibrates across batch sizes
+                # (reference train.py:498-505)
+                step1000 = int((epoch + it / max(len(self.loader), 1))
+                               * 1000)
+                self.tb.scalars(step1000, train_loss=loss_val,
+                                train_lr=lr_now)
                 rate = (it + 1) / (time.time() - t0)
                 print(f"epoch {epoch} [{it + 1}/{len(self.loader)}] "
                       f"{self.logger.line()}  it/s={rate:.2f}")

@@ -181,14 +181,60 @@ def _decay_mask(params):
     return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
 
 
+def scale_by_layer_decay(layer_decay: float):
+    """timm-style layer-wise lr decay (reference optimizer.py:5-74):
+    updates of transformer block l get layer_decay^(depth - l), the
+    patch/feature embeddings get layer_decay^depth, heads/final norms 1.0.
+
+    Works on the stacked-block layout: 'blocks' leaves are [L, ...] and get
+    a per-layer factor broadcast over the leading axis."""
+
+    def scale_tree(updates):
+        def scale_module(mod):
+            out = {}
+            for k, v in mod.items():
+                if k == "blocks":
+                    depth = jax.tree.leaves(v)[0].shape[0]
+
+                    def per_layer(x):
+                        f = layer_decay ** (depth - jnp.arange(depth))
+                        return x * f.reshape((depth,) + (1,) * (x.ndim - 1)
+                                             ).astype(x.dtype)
+
+                    out[k] = jax.tree.map(per_layer, v)
+                elif k in ("patch_embed", "feat_embed", "image2_embed"):
+                    depth = 1
+                    for kk in mod:
+                        if kk == "blocks":
+                            depth = jax.tree.leaves(mod[kk])[0].shape[0]
+                    out[k] = jax.tree.map(
+                        lambda x: x * (layer_decay ** (depth + 1)), v)
+                else:
+                    out[k] = v
+            return out
+
+        return {name: scale_module(m) if isinstance(m, dict) else m
+                for name, m in updates.items()}
+
+    def update_fn(updates, state, params=None):
+        del params
+        return scale_tree(updates), state
+
+    return optax.GradientTransformation(lambda p: optax.EmptyState(),
+                                        update_fn)
+
+
 def make_optimizer(lr_schedule, weight_decay: float = 0.05,
                    b1: float = 0.9, b2: float = 0.95,
-                   grad_clip: Optional[float] = None):
+                   grad_clip: Optional[float] = None,
+                   layer_decay: Optional[float] = None):
     txs = []
     if grad_clip:
         txs.append(optax.clip_by_global_norm(grad_clip))
     txs.append(optax.scale_by_adam(b1=b1, b2=b2))
     txs.append(optax.add_decayed_weights(weight_decay, mask=_decay_mask))
+    if layer_decay is not None and layer_decay != 1.0:
+        txs.append(scale_by_layer_decay(layer_decay))
     txs.append(optax.scale_by_learning_rate(lr_schedule))
     return optax.chain(*txs)
 

@@ -10,7 +10,7 @@ no hand-written collectives.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
@@ -18,13 +18,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, mp: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ('dp', 'mp') mesh. dp = n_devices // mp."""
+              devices: Optional[Sequence] = None,
+              axis_names: Tuple[str, str] = ("dp", "mp")) -> Mesh:
+    """Build a 2-axis mesh (default ('dp', 'mp')). dp = n_devices // mp."""
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
     assert n % mp == 0, (n, mp)
     arr = np.asarray(devices[:n]).reshape(n // mp, mp)
-    return Mesh(arr, ("dp", "mp"))
+    return Mesh(arr, axis_names)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

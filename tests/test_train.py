@@ -187,3 +187,46 @@ def test_train_step_on_dp_mesh(rng):
 
 def test_effective_lr():
     assert effective_lr(1e-4, 32, n_devices=8, accum=1) == 1e-4 * 256 / 256
+
+
+def test_layer_decay_scales_block_updates():
+    """scale_by_layer_decay: deeper blocks keep larger updates."""
+    from must3r_tpu.engine.train import scale_by_layer_decay
+
+    params = {"encoder": {
+        "blocks": {"w": jnp.ones((4, 2, 2))},
+        "patch_embed": {"w": jnp.ones((2, 2))},
+        "norm": {"scale": jnp.ones((2,))},
+    }}
+    tx = scale_by_layer_decay(0.5)
+    state = tx.init(params)
+    upd, _ = tx.update(params, state)
+    w = np.asarray(upd["encoder"]["blocks"]["w"])
+    # layer l scaled by 0.5^(4-l): deepest block (l=3) -> 0.5
+    np.testing.assert_allclose(w[3], 0.5 * np.ones((2, 2)))
+    np.testing.assert_allclose(w[0], 0.0625 * np.ones((2, 2)))
+    # embeddings get decay^(depth+1), final norm unscaled
+    np.testing.assert_allclose(
+        np.asarray(upd["encoder"]["patch_embed"]["w"]), 0.5 ** 5)
+    np.testing.assert_allclose(np.asarray(upd["encoder"]["norm"]["scale"]),
+                               1.0)
+
+
+def test_pose_metrics_perfect_and_noisy(rng):
+    from must3r_tpu.engine.evaluate import pose_metrics
+
+    v = 5
+    poses = np.tile(np.eye(4), (v, 1, 1))
+    for i in range(v):
+        a = 0.4 * i
+        poses[i, :3, :3] = np.asarray(
+            [[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0],
+             [0, 0, 1]])
+        poses[i, :3, 3] = [i, 0.5 * i, 0]
+    out = pose_metrics(poses, poses)
+    assert out["rra@5"] == 1.0 and out["rta@5"] == 1.0
+    assert out["auc@30"] > 95.0
+    bad = poses.copy()
+    bad[:, :3, 3] = rng.standard_normal((v, 3)) * 5
+    out2 = pose_metrics(bad, poses)
+    assert out2["auc@30"] < out["auc@30"]
