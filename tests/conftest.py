@@ -11,14 +11,17 @@ any backend is initialized.
 
 import os
 
+REAL_TPU = bool(os.environ.get("JAX_REAL_TPU"))
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
+if not REAL_TPU and "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not REAL_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,89 @@
+"""Pallas kernel numerics on REAL TPU hardware.
+
+The regular suite runs on CPU (kernels in interpret mode). These tests
+execute the compiled Mosaic kernels and are skipped unless a TPU backend
+is present: run `python -m pytest tests/test_tpu_kernels.py --no-header`
+on a TPU VM (conftest's CPU forcing is overridden via JAX_REAL_TPU=1).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+if not os.environ.get("JAX_REAL_TPU"):
+    pytest.skip("set JAX_REAL_TPU=1 on a TPU VM to run kernel checks",
+                allow_module_level=True)
+
+import jax
+import jax.numpy as jnp
+
+from must3r_tpu.ops.attention import (
+    INT32_MAX,
+    memory_cross_attention,
+    pack_kv,
+    self_attention,
+)
+
+rng = np.random.default_rng(0)
+
+
+def test_sa_pallas_matches_chunked_bf16():
+    b, n, h, dh = 2, 768, 12, 64
+    q, k, v = (jnp.asarray(rng.standard_normal((b, n, h, dh)),
+                           jnp.bfloat16) for _ in range(3))
+    got = self_attention(q, k, v, impl="pallas")
+    want = self_attention(q, k, v, impl="chunked")
+    err = float(jnp.abs(got.astype(jnp.float32)
+                        - want.astype(jnp.float32)).max())
+    assert err < 0.05, err          # bf16 PV rounding tolerance
+
+
+def test_ca_pallas_matches_chunked_with_masks():
+    b, g, n, h, dh, s = 1, 3, 768, 12, 64, 2048
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.bfloat16)
+    kv = jnp.asarray(rng.standard_normal((b, h, s, 2 * dh)), jnp.bfloat16)
+    labels = np.full((b, s), -1, np.int32)
+    labels[:, :1536] = rng.integers(0, 4, size=(b, 1536))
+    labels = jnp.asarray(labels)
+    q_self = jnp.asarray([[0, 2, -2]], jnp.int32)
+    q_upper = jnp.asarray([[INT32_MAX, 3, INT32_MAX]], jnp.int32)
+    got = memory_cross_attention(q, kv, labels, q_self=q_self,
+                                 q_upper=q_upper, kv_len=jnp.int32(1536),
+                                 impl="pallas")
+    want = memory_cross_attention(q, kv, labels, q_self=q_self,
+                                  q_upper=q_upper, impl="chunked")
+    err = float(jnp.abs(got.astype(jnp.float32)
+                        - want.astype(jnp.float32)).max())
+    assert err < 0.05, err
+
+
+def test_ca_pallas_dynamic_kv_len():
+    """Compute must stop at the fill level: corrupting the tail must not
+    change results when kv_len masks it."""
+    b, g, n, h, dh, s = 1, 1, 256, 4, 64, 1024
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.bfloat16)
+    kv = jnp.asarray(rng.standard_normal((b, h, s, 2 * dh)), jnp.bfloat16)
+    labels = np.full((b, s), -1, np.int32)
+    labels[:, :512] = 0
+    labels = jnp.asarray(labels)
+    a = memory_cross_attention(q, kv, labels, kv_len=jnp.int32(512),
+                               impl="pallas")
+    kv2 = kv.at[:, :, 512:].set(1e4)
+    b_ = memory_cross_attention(q, kv2, labels, kv_len=jnp.int32(512),
+                                impl="pallas")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_hybrid_grad_runs_on_tpu():
+    b, n, h, dh = 1, 256, 4, 64
+    q, k, v = (jnp.asarray(rng.standard_normal((b, n, h, dh)),
+                           jnp.float32) for _ in range(3))
+
+    def f(q, k, v):
+        return jnp.sum(self_attention(q, k, v, impl="pallas") ** 2)
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
