@@ -89,7 +89,6 @@ def main(argv=None):
 
     args = get_args_parser().parse_args(argv)
     from must3r_tpu.cli.common import load_or_init_model
-    from must3r_tpu.config import DecoderConfig
     import dataclasses as dc
 
     from must3r_tpu.datasets import get_data_loader

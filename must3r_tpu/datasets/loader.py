@@ -12,7 +12,7 @@ numpy-bound, so threads overlap the device step well enough on TPU VMs).
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

@@ -11,7 +11,7 @@ eval metrics can be validated end-to-end.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

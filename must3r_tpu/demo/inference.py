@@ -14,7 +14,7 @@ Parity target: reference `must3r/demo/inference.py` --
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax.numpy as jnp
 import numpy as np
@@ -32,7 +32,6 @@ from must3r_tpu.retrieval.graph import (
 )
 from must3r_tpu.retrieval.model import RetrievalHead, identity_head
 from must3r_tpu.slam.nns import get_searcher
-from must3r_tpu.slam.tools import get_quadrant_id
 from must3r_tpu.tools.image import denormalize_image
 
 

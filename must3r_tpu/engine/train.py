@@ -19,8 +19,7 @@ DDP/NCCL). Memory token dropout is drawn with `jax.random` per step.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,9 +25,6 @@ replicating queries + reducing outputs beats rotating KV blocks.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

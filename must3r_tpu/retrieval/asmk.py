@@ -19,7 +19,7 @@ The published 64k-codebook pickles require the original package's classes;
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

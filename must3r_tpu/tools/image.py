@@ -14,7 +14,7 @@ shapes before it ever reaches the device.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 import PIL.Image

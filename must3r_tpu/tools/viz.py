@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import base64
 import json
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
