@@ -32,7 +32,7 @@ def _forward_views(core: InferenceCore, batch, num_mem_views: int,
     x = core.encode(imgs.reshape(b * v, h, w, 3), pos.reshape(b * v, n, 2))
     x = x.reshape(b, v, n, -1)
 
-    cap = round_capacity(num_mem_views * n, 512)
+    cap = round_capacity(num_mem_views * n, 1024)
     mem = init_memory(core.dec_cfg.depth, b, core.dec_cfg.num_heads,
                       core.dec_cfg.head_dim, cap, dtype=core.dtype)
     g0 = min(init_num_images, num_mem_views)

@@ -176,7 +176,7 @@ class InferenceCore:
     # -- memory ------------------------------------------------------------
 
     def new_memory(self, max_images: int, img_hw, batch: int = 1,
-                   block: int = 512) -> MemoryState:
+                   block: int = 1024) -> MemoryState:
         n = (img_hw[0] // self.dec_cfg.patch_size) * \
             (img_hw[1] // self.dec_cfg.patch_size)
         cap = round_capacity(max_images * n, block)
@@ -417,7 +417,7 @@ def offline_reconstruction_multi_ar(core: InferenceCore,
 
 def make_fused_offline(core: InferenceCore, n_views: int, img_hw,
                        init_num_images: int = 2, compute_cam: bool = True,
-                       capacity_block: int = 512):
+                       capacity_block: int = 1024):
     """Compile the ENTIRE offline reconstruction into one XLA program:
     encode all views -> init update -> lax.scan of 1-view updates ->
     batched render -> head -> postprocess.

@@ -46,7 +46,7 @@ class TrainSettings:
     norm_mode: str = "?avg_dis"
     sky_loss_value: float = 2.0
     loss_in_log: bool = False
-    capacity_block: int = 512
+    capacity_block: int = 1024
     dtype: str = "bfloat16"
 
 

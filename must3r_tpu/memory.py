@@ -50,7 +50,7 @@ class MemoryState:
         return self.kv.shape[0]
 
 
-def round_capacity(n_tokens: int, multiple: int = 512) -> int:
+def round_capacity(n_tokens: int, multiple: int = 1024) -> int:
     """Round a capacity up to the CA kernel's block size."""
     return -(-n_tokens // multiple) * multiple
 

@@ -373,7 +373,7 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
 
 
 def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
-               block_k: int = 512, block_q: int = 1024,
+               block_k: int = 1024, block_q: int = 1024,
                interpret: bool = False):
     """Flash CA kernel over the packed KV cache.
 
@@ -412,6 +412,11 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
                                jnp.asarray(layer, jnp.int32).reshape(())])
     q_self = q_self.astype(jnp.int32)
     q_upper = q_upper.astype(jnp.int32)
+    # labels pre-tiled as [rows, 1, bk]: DMA slices then address only the
+    # untiled major dim, and source/destination tiles are both (1, bk) --
+    # Mosaic rejects sub-tile row slices of a plain [B, S] i32 array and
+    # 1D<->2D tile mismatches
+    labels_tiled = labels.reshape(b * (s_cap // bk), 1, bk)
 
     def kernel(len_ref, qself_ref, qupper_ref,       # scalar prefetch
                q_ref, kv_hbm, lbl_hbm,               # inputs
@@ -433,9 +438,9 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
                 sem.at[slot, 0])
 
         def dma_l(slot, idx):
+            row = bi * (s_cap // bk) + idx
             return pltpu.make_async_copy(
-                lbl_hbm.at[bi, pl.ds(idx * bk, bk)], lbl_buf.at[slot, 0],
-                sem.at[slot, 1])
+                lbl_hbm.at[row], lbl_buf.at[slot], sem.at[slot, 1])
 
         def start(slot, idx):
             dma_kv(slot, idx).start()
@@ -484,7 +489,9 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
             pl.BlockSpec((1, 1, 1, bq, dh),
                          lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # labels pinned to HBM: if promoted to VMEM, Mosaic cannot
+            # take sub-tile-aligned slices of small int arrays
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec((1, 1, 1, bq, dh),
                                lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi,
@@ -504,7 +511,7 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(len_and_layer, q_self, q_upper, qt, kv, labels)
+    )(len_and_layer, q_self, q_upper, qt, kv, labels_tiled)
     if q_pad:
         out = out[:, :, :, :n, :]
     return out.transpose(0, 1, 3, 2, 4)

@@ -182,7 +182,7 @@ class Must3rSLAM:
             p = self.dec_cfg.patch_size
             self._n_tokens = (hw[0] // p) * (hw[1] // p)
             cap = round_capacity(self.cfg.max_keyframes * self._n_tokens,
-                                 512)
+                                 1024)
             self.mem = init_memory(self.dec_cfg.depth, 1,
                                    self.dec_cfg.num_heads,
                                    self.dec_cfg.head_dim, cap,

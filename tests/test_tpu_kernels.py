@@ -39,15 +39,17 @@ def test_sa_pallas_matches_chunked_bf16():
     assert err < 0.05, err          # bf16 PV rounding tolerance
 
 
-def test_ca_pallas_matches_chunked_with_masks():
-    b, g, n, h, dh, s = 1, 3, 768, 12, 64, 2048
+@pytest.mark.parametrize("b", [1, 4])
+def test_ca_pallas_matches_chunked_with_masks(b):
+    g, n, h, dh, s = 3, 768, 12, 64, 2048
     q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.bfloat16)
     kv = jnp.asarray(rng.standard_normal((b, h, s, 2 * dh)), jnp.bfloat16)
     labels = np.full((b, s), -1, np.int32)
     labels[:, :1536] = rng.integers(0, 4, size=(b, 1536))
     labels = jnp.asarray(labels)
-    q_self = jnp.asarray([[0, 2, -2]], jnp.int32)
-    q_upper = jnp.asarray([[INT32_MAX, 3, INT32_MAX]], jnp.int32)
+    q_self = jnp.broadcast_to(jnp.asarray([[0, 2, -2]], jnp.int32), (b, g))
+    q_upper = jnp.broadcast_to(
+        jnp.asarray([[INT32_MAX, 3, INT32_MAX]], jnp.int32), (b, g))
     got = memory_cross_attention(q, kv, labels, q_self=q_self,
                                  q_upper=q_upper, kv_len=jnp.int32(1536),
                                  impl="pallas")
