@@ -144,7 +144,7 @@ class MetricLogger:
         return {k: float(np.mean(v)) for k, v in self.meters.items() if v}
 
     def line(self) -> str:
-        return "  ".join(f"{k}={v:.4f}" for k, v in self.smoothed().items())
+        return "  ".join(f"{k}={v:.4g}" for k, v in self.smoothed().items())
 
     def write_epoch(self, epoch: int, extra: Optional[Dict] = None):
         if not self.log_path:

@@ -128,16 +128,21 @@ def make_forward(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
                                 dtype=dtype, impl=impl)
 
         toks_all = jnp.concatenate(toks_first + [toks_r], axis=1)
-        pm = decoder_head(params["decoder"], dec_cfg, toks_all, (h, w))
+        first_ids = jnp.arange(n_skip, n_mem, dtype=jnp.int32)
+        loss_ids = jnp.concatenate([first_ids, render_ids.astype(jnp.int32)])
+        # portrait views predict at their true aspect then transpose back
+        # (reference landscape_only head semantics)
+        portrait = batch.get("portrait")
+        pmask = (jnp.take(portrait, loss_ids, axis=1)
+                 if portrait is not None else None)
+        pm = decoder_head(params["decoder"], dec_cfg, toks_all, (h, w),
+                          portrait_mask=pmask)
 
         pred = {
             "pts3d": apply_exp_to_norm(pm[..., :3]),
             "pts3d_local": apply_exp_to_norm(pm[..., 3:6]),
             "conf": 1.0 + jnp.exp(pm[..., 6]),
         }
-        # view indices the predictions correspond to, for GT gathering
-        first_ids = jnp.arange(n_skip, n_mem, dtype=jnp.int32)
-        loss_ids = jnp.concatenate([first_ids, render_ids.astype(jnp.int32)])
         return pred, loss_ids
 
     return forward
