@@ -60,7 +60,7 @@ def main(argv=None):
     t0 = time.time()
     n = 0
     for frame, fid, cam in loader:
-        out = slam(frame, fid, cam)
+        out = slam(frame, fid, cam, return_maps=False)
         n += 1
         if n % 60 == 0:
             fps = n / (time.time() - t0)

@@ -87,6 +87,10 @@ def video_reconstruction(core: InferenceCore, imgs, img_hw=None,
     pointmaps = [None] * v
     batches = default_mem_batches(v, init_num_images)
 
+    # host-side upper bound on mem.length (appends only grow it; compaction
+    # resets it) -- avoids a device->host sync per batch
+    length_bound = 0
+
     for _ in range(num_refinement_iterations + 1):
         working = deque()
         cursor = 0
@@ -95,9 +99,10 @@ def video_reconstruction(core: InferenceCore, imgs, img_hw=None,
             cursor += bsize
 
             # compact when the tentative append might not fit
-            live = int(np.asarray(mem.length))
-            if live + bsize * n_tok > capacity:
+            if length_bound + bsize * n_tok > capacity:
                 mem = compact(mem)
+                length_bound = int(np.asarray(mem.length))
+            length_bound += bsize * n_tok
 
             # ensure unique labels for this forward
             base_label = len(img_labels) if img_labels else 0

@@ -84,6 +84,14 @@ class Must3rSLAM:
 
         self._step_fn = jax.jit(self._step, donate_argnums=(1,))
         self._post_fn = jax.jit(self._post, static_argnums=(2,))
+        # one fused per-frame program + one O(1) rollback program: through
+        # a remote tunnel every dispatch/fetch costs a round trip, so the
+        # frame loop is exactly [1 dispatch, 1 small packed fetch]
+        self._frame_fn = jax.jit(self._frame_step, donate_argnums=(1,),
+                                 static_argnums=(4,))
+        self._rollback_fn = jax.jit(
+            lambda mem, length, n: truncate(mem, length, n),
+            donate_argnums=(0,))
         self._render_fn = jax.jit(self._render_batch)
         self._encode_fn = jax.jit(
             lambda p, img, pos: encoder_forward(p["encoder"], self.enc_cfg,
@@ -130,6 +138,42 @@ class Must3rSLAM:
             sub_pts=pts3d[::s, ::s], sub_conf=conf[::s, ::s],
             sub_depth=local[::s, ::s, 2],
         )
+
+    def _frame_step(self, params, mem, img, pos, is_first: bool, seq_focal):
+        """Full per-frame device program: encode -> tentative update ->
+        head -> activation/pose/overlap-inputs, with the small host-needed
+        quantities packed into ONE flat vector (single fetch)."""
+        mem, pm = self._step(params, mem, img, pos)
+        post = self._post(pm, seq_focal, is_first)
+        packed = jnp.concatenate([
+            jnp.stack([post["focal"], post["conf_median"],
+                       post["conf_mean"]]),
+            post["c2w"].reshape(-1),
+            post["sub_pts"].reshape(-1),
+            post["sub_conf"].reshape(-1),
+            post["sub_depth"].reshape(-1),
+        ]).astype(jnp.float32)
+        maps = jnp.stack([post["pts3d"], post["local"],
+                          post["conf"][..., None].repeat(3, -1)])
+        return mem, packed, maps
+
+    def _unpack(self, packed, hw):
+        s = self.cfg.kf_x_subsamp or 1
+        sh, sw = -(-hw[0] // s), -(-hw[1] // s)
+        ns = sh * sw
+        focal, conf_median, conf_mean = (float(packed[0]),
+                                         float(packed[1]),
+                                         float(packed[2]))
+        c2w = packed[3:19].reshape(4, 4)
+        off = 19
+        sub_pts = packed[off:off + 3 * ns].reshape(sh, sw, 3)
+        off += 3 * ns
+        sub_conf = packed[off:off + ns].reshape(sh, sw)
+        off += ns
+        sub_depth = packed[off:off + ns].reshape(sh, sw)
+        return dict(focal=focal, conf_median=conf_median,
+                    conf_mean=conf_mean, c2w=c2w, sub_pts=sub_pts,
+                    sub_conf=sub_conf, sub_depth=sub_depth)
 
     def _render_batch(self, params, mem, x, pos):
         toks = decoder_render(params["decoder"], self.dec_cfg, mem, x, pos,
@@ -211,9 +255,12 @@ class Must3rSLAM:
                          dists)
         return float(np.percentile(dists, cfg.overlap_percentile))
 
-    def __call__(self, frame: np.ndarray, frame_id: int, cam_id: int = 0):
+    def __call__(self, frame: np.ndarray, frame_id: int, cam_id: int = 0,
+                 return_maps: bool = True):
         """Process one frame. Returns a dict with pose/conf/focal/keyframe
-        plus full-resolution pointmaps."""
+        plus (with return_maps) full-resolution pointmaps -- skip the maps
+        on latency-critical loops: fetching them costs an extra host
+        round trip per frame."""
         cfg = self.cfg
         prep = preprocess_frame(frame, cfg.res,
                                 patch_size=self.dec_cfg.patch_size,
@@ -237,10 +284,10 @@ class Must3rSLAM:
 
         results = None
         for p_img, p_id in replay + [(prep, frame_id)]:
-            results = self._process_one(p_img, p_id)
+            results = self._process_one(p_img, p_id, return_maps)
         return results
 
-    def _process_one(self, prep, frame_id):
+    def _process_one(self, prep, frame_id, return_maps: bool = True):
         cfg = self.cfg
         hw = prep["img"].shape[:2]
         self._ensure_memory(hw)
@@ -250,14 +297,16 @@ class Must3rSLAM:
         pos = view_positions(hw, self.enc_cfg.patch_size, batch_shape=(1,))
 
         old_len, old_imgs = self.committed_len, self.committed_imgs
-        self.mem, pm = self._step_fn(self.params, self.mem, img, pos)
-        post = self._post_fn(pm, jnp.float32(self._seq_focal()), is_first)
+        self.mem, packed, maps = self._frame_fn(
+            self.params, self.mem, img, pos, is_first,
+            jnp.float32(self._seq_focal()))
+        post = self._unpack(np.asarray(packed), hw)   # the ONE host fetch
 
-        c2w = np.asarray(post["c2w"])
+        c2w = post["c2w"]
         cam_center = c2w[:3, 3]
-        focal = float(post["focal"])
-        conf_mean = float(post["conf_mean"])
-        conf_median = float(post["conf_median"])
+        focal = post["focal"]
+        conf_mean = post["conf_mean"]
+        conf_median = post["conf_median"]
 
         score = self._overlap_score(post, cam_center)
         if "nn" in cfg.overlap_mode:
@@ -272,19 +321,17 @@ class Must3rSLAM:
             self.committed_imgs = old_imgs + 1
             self.keyframes.append(frame_id)
             if self.overlap_tree is not None:
-                conf = np.asarray(post["sub_conf"])
-                msk = conf > cfg.min_conf_keyframe
+                msk = post["sub_conf"] > cfg.min_conf_keyframe
                 if msk.sum():
-                    self.overlap_tree.add_pts(
-                        np.asarray(post["sub_pts"])[msk],
-                        cam_center=cam_center)
+                    self.overlap_tree.add_pts(post["sub_pts"][msk],
+                                              cam_center=cam_center)
             if cfg.keep_memory:
+                m = np.asarray(maps)
                 self.keyframe_pointmaps.append(
-                    [np.asarray(post["pts3d"]), np.asarray(prep["img"]),
-                     np.asarray(post["conf"])])
+                    [m[0], np.asarray(prep["img"]), m[2][..., 0]])
         else:
-            # O(1) rollback of the tentative tokens
-            self.mem = truncate(self.mem, old_len, old_imgs)
+            # O(1) rollback of the tentative tokens (one async dispatch)
+            self.mem = self._rollback_fn(self.mem, old_len, old_imgs)
 
         self.seq_focals["f"].append(focal)
         self.seq_focals["conf"].append(max(conf_mean - 1.0, 1e-6))
@@ -294,11 +341,13 @@ class Must3rSLAM:
         self.all_confs.append(conf_mean)
         self.all_focals.append(focal)
 
-        return dict(pts3d=np.asarray(post["pts3d"]),
-                    pts3d_local=np.asarray(post["local"]),
-                    conf=np.asarray(post["conf"]), focal=focal, c2w=c2w,
-                    overlap_score=score, iskeyframe=iskeyframe,
-                    true_shape=hw)
+        out = dict(focal=focal, c2w=c2w, overlap_score=score,
+                   iskeyframe=iskeyframe, true_shape=hw,
+                   conf_mean=conf_mean, conf_median=conf_median)
+        if return_maps:
+            m = np.asarray(maps)          # optional second fetch
+            out.update(pts3d=m[0], pts3d_local=m[1], conf=m[2][..., 0])
+        return out
 
     # -- post-sequence ---------------------------------------------------------
 
