@@ -141,7 +141,7 @@ def _update_masks(cfg, n_imgs, g: int, causal: bool):
 
 def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
                    causal: Optional[bool] = None, extra_mask=None,
-                   dtype=jnp.bfloat16,
+                   dtype=jnp.bfloat16, unroll_layers: bool = False,
                    impl: Optional[str] = None) -> Tuple[MemoryState, jax.Array]:
     """One memory-update step over G images.
 
@@ -194,8 +194,21 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
                           impl=impl)
         return (x, kv_buf), raw
 
-    (x, kv_buf), raws = jax.lax.scan(
-        body, (x, mem.kv), (params["blocks"], jnp.arange(depth)))
+    if unroll_layers:
+        # python-level layer loop: keeps the big KV buffer OUT of a
+        # lax.scan carry -- XLA's while-loop carries cost one full-buffer
+        # copy per call, which dominates streaming (G=1) latency for
+        # large memories. Compile time grows ~depth x; use for serving.
+        kv_buf = mem.kv
+        raws_l = []
+        for li in range(depth):
+            blk = _block_slice(params["blocks"], li)
+            (x, kv_buf), raw = body((x, kv_buf), (blk, jnp.int32(li)))
+            raws_l.append(raw)
+        raws = jnp.stack(raws_l)
+    else:
+        (x, kv_buf), raws = jax.lax.scan(
+            body, (x, mem.kv), (params["blocks"], jnp.arange(depth)))
 
     if cfg.feedback != FeedbackType.NONE and "feedback" in params:
         offset = _feedback_offset(params, cfg, raws[-1])

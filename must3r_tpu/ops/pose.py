@@ -11,6 +11,8 @@ the Weiszfeld IRLS runs as a fori_loop, the Procrustes via
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -126,11 +128,21 @@ def rigid_points_registration(x, y, weights=None, n_power_iters: int = 64):
     # iteration's convergence ratio favorable
     shift = jnp.linalg.norm(k, axis=(-2, -1), keepdims=True) + _EPS
     k_sh = k + shift * jnp.eye(4, dtype=k.dtype)
+    # power iteration by repeated matrix squaring: K^(2^r) applied to an
+    # asymmetric seed -- log2(n) 4x4 matmuls instead of n matvecs (each
+    # tiny op costs fixed launch overhead on TPU), Frobenius-normalized
+    # between squarings to stay in range
+    n_sq = max(1, int(math.ceil(math.log2(max(n_power_iters, 2)))))
+    m_pow = k_sh / jnp.clip(
+        jnp.linalg.norm(k_sh, axis=(-2, -1), keepdims=True), _EPS)
+    for _ in range(n_sq):
+        m_pow = jnp.einsum("...ij,...jk->...ik", m_pow, m_pow)
+        m_pow = m_pow / jnp.clip(
+            jnp.linalg.norm(m_pow, axis=(-2, -1), keepdims=True), _EPS)
     seed = jnp.asarray([1.0, 0.011, 0.017, 0.023], k.dtype)  # asymmetric
-    q = jnp.broadcast_to(seed, (*k.shape[:-2], 4))
-    for _ in range(n_power_iters):
-        q = jnp.einsum("...ij,...j->...i", k_sh, q)
-        q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
+    q = jnp.einsum("...ij,...j->...i", m_pow,
+                   jnp.broadcast_to(seed, (*k.shape[:-2], 4)))
+    q = q / jnp.clip(jnp.linalg.norm(q, axis=-1, keepdims=True), _EPS)
     r = _quat_to_rotmat(q)
     t = cy - jnp.einsum("...ij,...j->...i", r, cx)
     return r, t

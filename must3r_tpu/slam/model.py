@@ -107,7 +107,8 @@ class Must3rSLAM:
                             dtype=self.dtype, impl=self.impl)
         mem, toks = decoder_update(params["decoder"], self.dec_cfg, mem,
                                    x[:, None], pos[:, None], causal=False,
-                                   dtype=self.dtype, impl=self.impl)
+                                   dtype=self.dtype, unroll_layers=True,
+                                   impl=self.impl)
         hw = (img.shape[1], img.shape[2])
         pm = decoder_head(params["decoder"], self.dec_cfg, toks, hw)
         return mem, pm[0, 0]
@@ -132,10 +133,14 @@ class Must3rSLAM:
             c2w = make_c2w(r, t)
 
         s = cfg.kf_x_subsamp or 1
+        sub_conf = conf[::s, ::s]
         return dict(
             pts3d=pts3d, local=local, conf=conf, focal=focal, c2w=c2w,
-            conf_median=jnp.median(conf), conf_mean=jnp.mean(conf),
-            sub_pts=pts3d[::s, ::s], sub_conf=conf[::s, ::s],
+            # median over the subsampled grid: a full-resolution exact
+            # median is a 200k-element sort -- slow on TPU -- and the value
+            # only gates the keyframe rule
+            conf_median=jnp.median(sub_conf), conf_mean=jnp.mean(conf),
+            sub_pts=pts3d[::s, ::s], sub_conf=sub_conf,
             sub_depth=local[::s, ::s, 2],
         )
 
@@ -143,6 +148,10 @@ class Must3rSLAM:
         """Full per-frame device program: encode -> tentative update ->
         head -> activation/pose/overlap-inputs, with the small host-needed
         quantities packed into ONE flat vector (single fetch)."""
+        if img.dtype == jnp.uint8:
+            # on-device ImgNorm: frames upload as uint8 (4x less tunnel
+            # bandwidth than fp32)
+            img = (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         mem, pm = self._step(params, mem, img, pos)
         post = self._post(pm, seq_focal, is_first)
         packed = jnp.concatenate([
@@ -264,7 +273,7 @@ class Must3rSLAM:
         cfg = self.cfg
         prep = preprocess_frame(frame, cfg.res,
                                 patch_size=self.dec_cfg.patch_size,
-                                square=self.square)
+                                square=self.square, normalize=False)
         hw = prep["img"].shape[:2]
 
         # re-initialization: until num_init_frames frames are seen, the map
@@ -287,19 +296,31 @@ class Must3rSLAM:
             results = self._process_one(p_img, p_id, return_maps)
         return results
 
+    def _positions(self, hw):
+        # device-resident constant per resolution: keep the frame loop free
+        # of eager dispatches (each is a host round trip through a tunnel)
+        if not hasattr(self, "_pos_cache"):
+            self._pos_cache = {}
+        if hw not in self._pos_cache:
+            self._pos_cache[hw] = jax.device_put(np.asarray(
+                view_positions(hw, self.enc_cfg.patch_size,
+                               batch_shape=(1,))))
+        return self._pos_cache[hw]
+
     def _process_one(self, prep, frame_id, return_maps: bool = True):
         cfg = self.cfg
         hw = prep["img"].shape[:2]
         self._ensure_memory(hw)
         is_first = self.committed_imgs == 0
 
-        img = jnp.asarray(prep["img"])[None]
-        pos = view_positions(hw, self.enc_cfg.patch_size, batch_shape=(1,))
+        # numpy args transfer as part of the dispatch -- no eager ops here
+        img = prep["img"][None]
+        pos = self._positions(hw)
 
         old_len, old_imgs = self.committed_len, self.committed_imgs
         self.mem, packed, maps = self._frame_fn(
             self.params, self.mem, img, pos, is_first,
-            jnp.float32(self._seq_focal()))
+            float(self._seq_focal()))
         post = self._unpack(np.asarray(packed), hw)   # the ONE host fetch
 
         c2w = post["c2w"]
@@ -361,7 +382,10 @@ class Must3rSLAM:
         pts_all, poses = [], []
         for i in range(0, n, max_bs):
             chunk = self.all_images[i:i + max_bs]
-            imgs = jnp.asarray(np.stack([v["img"] for v in chunk]))
+            stack = np.stack([v["img"] for v in chunk])
+            if stack.dtype == np.uint8:
+                stack = (stack.astype(np.float32) / 255.0 - 0.5) / 0.5
+            imgs = jnp.asarray(stack)
             pos = view_positions(self._hw, self.enc_cfg.patch_size,
                                  batch_shape=(len(chunk),))
             x = self._encode_fn(self.params, imgs, pos)

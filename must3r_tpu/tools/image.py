@@ -169,10 +169,13 @@ def preprocess_image(img: np.ndarray, maxdim, patch_size: int = 16):
 
 
 def preprocess_frame(img: np.ndarray, res: int, patch_size: int = 16,
-                     square: bool = False):
+                     square: bool = False, normalize: bool = True):
     """SLAM-style preprocessing (reference slam/model.py:99-120): resize the
     long side to `res`, center-crop each side down to a multiple of the
-    patch size (or to a square for 224-class models)."""
+    patch size (or to a square for 224-class models).
+
+    normalize=False keeps uint8 pixels: streaming loops upload the frame
+    4x smaller and normalize on-device (ImgNorm is trivially fused)."""
     h, w = img.shape[:2]
     scale = res / max(h, w)
     nh, nw = round(h * scale), round(w * scale)
@@ -186,8 +189,9 @@ def preprocess_frame(img: np.ndarray, res: int, patch_size: int = 16,
     y0 = (nh - ch) // 2
     x0 = (nw - cw) // 2
     img = img[y0:y0 + ch, x0:x0 + cw]
-    out = normalize_image(img) if img.dtype == np.uint8 else img
-    stored, portrait = to_landscape(out)
+    if normalize and img.dtype == np.uint8:
+        img = normalize_image(img)
+    stored, portrait = to_landscape(img)
     return {"img": stored, "true_shape": (ch, cw), "portrait": portrait}
 
 
