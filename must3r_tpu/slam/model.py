@@ -16,9 +16,9 @@ Parity target: reference `must3r/slam/model.py` (`SLAM_MUSt3R`,
 TPU-native twist: the tentative update writes in place into the donated
 fixed-capacity memory; commit is a no-op and rejection is an O(1) label
 rollback (`memory.truncate`) -- the reference instead re-derives `newmem`
-and discards it. Device work per frame is exactly one jitted dispatch plus
-one small postprocess dispatch; the KD-tree runs on host in parallel with
-nothing blocking the TPU.
+and discards it. Device work per frame is ONE fused jitted program whose
+host-needed outputs come back as a single packed vector (plus an O(1)
+rollback dispatch on rejection); the KD-tree runs on the host.
 """
 
 from __future__ import annotations
@@ -206,7 +206,7 @@ class Must3rSLAM:
         self.all_focals: List[float] = []
         self.keyframes: List[int] = []
         self.keyframe_pointmaps = []
-        self.seq_focals = {"f": [], "conf": [], "to_orig": []}
+        self.agents = {}          # cam_id -> focal tracker (MUSt3R_Agent)
         self.all_images = []
         self.all_pts3d = None
 
@@ -214,18 +214,30 @@ class Must3rSLAM:
     def num_mem_frames(self) -> int:
         return len(self.keyframes)
 
-    def _seq_focal(self) -> float:
-        f = self.seq_focals["f"]
-        if not f or not self.cfg.fixed_focal:
+    def _agent(self, cam_id: int):
+        """Per-camera focal tracker (reference MUSt3R_Agent): streams share
+        the memory but keep independent focal statistics."""
+        if cam_id not in self.agents:
+            self.agents[cam_id] = {"f": [], "conf": [], "to_orig": []}
+        return self.agents[cam_id]
+
+    def _seq_focal(self, cam_id: int = 0) -> float:
+        sf = self._agent(cam_id)
+        if not sf["f"] or not self.cfg.fixed_focal:
             return -1.0
-        f = np.asarray(f)
-        c = np.asarray(self.seq_focals["conf"])
+        f = np.asarray(sf["f"])
+        c = np.asarray(sf["conf"])
         return float((f * c / c.sum()).sum())
 
-    def get_true_focal(self):
-        if not self.seq_focals["f"]:
+    def get_true_focal(self, cam_id: int = 0):
+        sf = self._agent(cam_id)
+        if not sf["f"]:
             return None
-        return self._seq_focal() * self.seq_focals["to_orig"][0]
+        return self._seq_focal(cam_id) * sf["to_orig"][0]
+
+    def get_true_focals(self):
+        """{cam_id: focal} over all agents (reference slam/model.py:404)."""
+        return {cid: self.get_true_focal(cid) for cid in self.agents}
 
     # -- per-frame ------------------------------------------------------------
 
@@ -293,7 +305,7 @@ class Must3rSLAM:
 
         results = None
         for p_img, p_id in replay + [(prep, frame_id)]:
-            results = self._process_one(p_img, p_id, return_maps)
+            results = self._process_one(p_img, p_id, return_maps, cam_id)
         return results
 
     def _positions(self, hw):
@@ -307,7 +319,8 @@ class Must3rSLAM:
                                batch_shape=(1,))))
         return self._pos_cache[hw]
 
-    def _process_one(self, prep, frame_id, return_maps: bool = True):
+    def _process_one(self, prep, frame_id, return_maps: bool = True,
+                     cam_id: int = 0):
         cfg = self.cfg
         hw = prep["img"].shape[:2]
         self._ensure_memory(hw)
@@ -320,7 +333,7 @@ class Must3rSLAM:
         old_len, old_imgs = self.committed_len, self.committed_imgs
         self.mem, packed, maps = self._frame_fn(
             self.params, self.mem, img, pos, is_first,
-            float(self._seq_focal()))
+            float(self._seq_focal(cam_id)))
         post = self._unpack(np.asarray(packed), hw)   # the ONE host fetch
 
         c2w = post["c2w"]
@@ -354,9 +367,10 @@ class Must3rSLAM:
             # O(1) rollback of the tentative tokens (one async dispatch)
             self.mem = self._rollback_fn(self.mem, old_len, old_imgs)
 
-        self.seq_focals["f"].append(focal)
-        self.seq_focals["conf"].append(max(conf_mean - 1.0, 1e-6))
-        self.seq_focals["to_orig"].append(1.0)
+        sf = self._agent(cam_id)
+        sf["f"].append(focal)
+        sf["conf"].append(max(conf_mean - 1.0, 1e-6))
+        sf["to_orig"].append(1.0)
         self.all_timestamps.append(frame_id)
         self.all_poses.append(c2w)
         self.all_confs.append(conf_mean)
@@ -378,7 +392,7 @@ class Must3rSLAM:
         if not self.cfg.rerender or not self.all_images:
             return
         n = len(self.all_images)
-        seq_focal = jnp.float32(self._seq_focal())
+        seq_focal = jnp.float32(self._seq_focal(0))
         pts_all, poses = [], []
         for i in range(0, n, max_bs):
             chunk = self.all_images[i:i + max_bs]
@@ -418,7 +432,21 @@ class Must3rSLAM:
             poses[:, :3, 3] = traj
         np.savez(path, poses=poses,
                  timestamps=np.asarray(self.all_timestamps, int),
-                 confs=conf, focal=self.get_true_focal(), **tolog)
+                 confs=conf, focal=self.get_true_focals(), **tolog)
+
+    def get_map(self, conf_thr: float = 1.5):
+        """Confidence-thresholded global map from the stored keyframe
+        pointmaps (requires keep_memory=True; reference `get_map`)."""
+        pts_all, col_all = [], []
+        for pts, img, conf in self.keyframe_pointmaps:
+            msk = conf > conf_thr
+            if msk.any():
+                pts_all.append(pts[msk])
+                col_all.append(np.asarray(img)[msk])
+        if not pts_all:
+            return (np.zeros((0, 3), np.float32),
+                    np.zeros((0, 3), np.uint8))
+        return np.concatenate(pts_all), np.concatenate(col_all)
 
     def save_memory(self, path: str):
         """Persist the keyframe memory + map (reference pickles the torch

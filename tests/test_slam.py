@@ -174,3 +174,37 @@ def test_slam_trajectory_export(slam_params, rng, tmp_path):
     assert slam2.committed_imgs == slam.committed_imgs
     np.testing.assert_array_equal(np.asarray(slam2.mem.labels),
                                   np.asarray(slam.mem.labels))
+
+
+def test_slam_multi_agent_focals(slam_params, rng):
+    """Streams keep independent focal trackers but share one memory
+    (reference MUSt3R_Agent per cam_id)."""
+    cfg = SlamConfig(res=32, num_init_frames=1, max_keyframes=16,
+                     kf_x_subsamp=2, keyframe_overlap_thr=0.05)
+    slam = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg,
+                      dtype=jnp.float32, impl="chunked")
+    frames = _frames(rng, 4)
+    slam(frames[0], 0, cam_id=0)
+    slam(frames[1], 1, cam_id=1)
+    slam(frames[2], 2, cam_id=0)
+    slam(frames[3], 3, cam_id=1)
+    assert set(slam.agents.keys()) == {0, 1}
+    assert len(slam.agents[0]["f"]) == 2
+    assert len(slam.agents[1]["f"]) == 2
+    focals = slam.get_true_focals()
+    assert set(focals.keys()) == {0, 1}
+    # shared memory accumulated frames from both streams
+    assert len(slam.all_poses) == 4
+
+
+def test_slam_get_map(slam_params, rng):
+    cfg = SlamConfig(res=32, num_init_frames=1, max_keyframes=8,
+                     kf_x_subsamp=1, keyframe_overlap_thr=0.0,
+                     min_conf_keyframe=0.0, keep_memory=True)
+    slam = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg,
+                      dtype=jnp.float32, impl="chunked")
+    for i, f in enumerate(_frames(rng, 2)):
+        slam(f, i)
+    pts, cols = slam.get_map(conf_thr=0.0)
+    assert pts.shape[1] == 3 and cols.shape[1] == 3
+    assert len(pts) > 0
