@@ -19,6 +19,7 @@ def get_args_parser():
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--pose_eval", action="store_true", default=False)
+    p.add_argument("--depth_eval", action="store_true", default=False)
     p.add_argument("--output", default=None, help="json report path")
     return p
 
@@ -38,7 +39,8 @@ def main(argv=None):
                              patch_size=dec_cfg.patch_size)
     report = evaluate(core, loader, num_views_list=args.num_views,
                       max_batches=args.max_batches,
-                      pose_eval=args.pose_eval)
+                      pose_eval=args.pose_eval,
+                      depth_eval=args.depth_eval)
     if args.output:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
         with open(args.output, "w") as f:

@@ -49,6 +49,7 @@ def collate_views(samples: List[List[Dict]], patch_size: int = 16) -> Dict:
         for s in samples])
     return {
         "img": stack("img").astype(np.float32),
+        "depthmap": stack("depthmap").astype(np.float32),
         "pos": pos.astype(np.int32),
         "pts3d": stack("pts3d").astype(np.float32),
         "camera_pose": stack("camera_pose").astype(np.float32),

@@ -92,10 +92,28 @@ def pose_metrics(pred_c2w: np.ndarray, gt_c2w: np.ndarray,
     return out
 
 
+def depth_metrics(pred_depth: np.ndarray, gt_depth: np.ndarray,
+                  valid: np.ndarray) -> Dict[str, float]:
+    """Monocular-depth protocol (robust-MVD style): median-scale the
+    prediction to GT, then abs-rel and inlier ratios.
+
+    pred/gt: [H, W] (or broadcastable); valid: bool mask."""
+    p = pred_depth[valid]
+    g = gt_depth[valid]
+    if len(p) == 0:
+        return {"abs_rel": float("nan"), "delta_1.25": 0.0}
+    scale = np.median(g) / max(np.median(p), 1e-9)
+    p = p * scale
+    abs_rel = float(np.mean(np.abs(p - g) / np.clip(g, 1e-9, None)))
+    ratio = np.maximum(p / np.clip(g, 1e-9, None),
+                       g / np.clip(p, 1e-9, None))
+    return {"abs_rel": abs_rel, "delta_1.25": float((ratio < 1.25).mean())}
+
+
 def evaluate(core: InferenceCore, loader,
              num_views_list: Sequence[int] = (2, 4),
              norm_mode: str = "?avg_dis", max_batches: Optional[int] = None,
-             pose_eval: bool = False,
+             pose_eval: bool = False, depth_eval: bool = False,
              verbose: bool = True) -> Dict[str, Dict[str, float]]:
     """Returns {f'views{k}': {'l21_global_mean', 'l21_global_median',
     'l21_local_mean', 'l21_local_median'[, pose RRA/RTA/AUC]}}."""
@@ -106,11 +124,26 @@ def evaluate(core: InferenceCore, loader,
         per_view_g: List[np.ndarray] = []
         per_view_l: List[np.ndarray] = []
         pose_accs: List[Dict[str, float]] = []
+        depth_accs: List[Dict[str, float]] = []
         for bi, batch in enumerate(loader):
             if max_batches is not None and bi >= max_batches:
                 break
             pred = _forward_views(core, batch, num_mem_views=min(
                 k, batch["img"].shape[1]))
+            if depth_eval:
+                # predicted depth = z of the camera-frame pointmap; GT
+                # depth from the dataset view pipeline
+                pd = np.asarray(pred["pts3d_local"][..., 2])
+                gd = np.asarray(batch["pts3d"])  # world pts; use depthmap
+                gtd = np.asarray(batch.get("depthmap")) \
+                    if "depthmap" in batch else None
+                vm = np.asarray(batch["valid_mask"])
+                if gtd is not None:
+                    b, v = pd.shape[:2]
+                    for e in range(b):
+                        for vi in range(v):
+                            depth_accs.append(depth_metrics(
+                                pd[e, vi], gtd[e, vi], vm[e, vi]))
             if pose_eval:
                 b, v = pred["pts3d"].shape[:2]
                 r, t = rigid_points_registration(
@@ -154,6 +187,11 @@ def evaluate(core: InferenceCore, loader,
             report[f"views{k}"].update(
                 {m: float(np.mean([p[m] for p in pose_accs]))
                  for m in keys})
+        if depth_accs:
+            for m in depth_accs[0]:
+                vals = [d[m] for d in depth_accs if np.isfinite(d[m])]
+                report[f"views{k}"][m] = float(np.mean(vals)) if vals \
+                    else float("nan")
         if verbose:
             print(f"views={k}: {report[f'views{k}']}")
     return report

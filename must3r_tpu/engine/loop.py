@@ -287,10 +287,12 @@ class Trainer:
                 cfg.memory_batch_views, cfg.render_once,
                 batch.get("memory_num_views", nimgs))
 
+            needed = ("img", "pos", "pts3d", "camera_pose", "valid_mask",
+                      "sky_mask", "portrait", "is_metric_scale")
             cut = {k: (v[:, :sched.n_views]
                        if hasattr(v, "ndim") and v.ndim >= 2
                        and v.shape[1] == nimgs else v)
-                   for k, v in batch.items() if k != "memory_num_views"}
+                   for k, v in batch.items() if k in needed}
             cut["render_ids"] = jnp.asarray(sched.render_ids, jnp.int32)
             cut = {k: jnp.asarray(v) if not isinstance(v, jnp.ndarray)
                    else v for k, v in cut.items()}
