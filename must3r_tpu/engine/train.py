@@ -47,6 +47,7 @@ class TrainSettings:
     sky_loss_value: float = 2.0
     loss_in_log: bool = False
     capacity_block: int = 1024
+    remat: bool = True
     dtype: str = "bfloat16"
 
 
@@ -77,7 +78,9 @@ def make_forward(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
 
         x = encoder_forward(params["encoder"], enc_cfg,
                             imgs.reshape(b * v, h, w, 3),
-                            pos.reshape(b * v, n, 2), impl=impl)
+                            pos.reshape(b * v, n, 2),
+                            remat=ts.remat and ts.finetune_encoder,
+                            impl=impl)
         if not ts.finetune_encoder:
             x = jax.lax.stop_gradient(x)
         x = x.reshape(b, v, n, -1)
@@ -111,7 +114,8 @@ def make_forward(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
             skipped = i < ts.train_decoder_skip
             mem, toks = decoder_update(params["decoder"], dec_cfg, mem, xb,
                                        pb, causal=True, extra_mask=extra,
-                                       dtype=dtype, impl=impl)
+                                       dtype=dtype, remat=ts.remat,
+                                       impl=impl)
             if ts.dropout_p > 0.0 and ts.dropout_mode == "permanent":
                 labels = jnp.where(dead, -1, mem.labels)
                 mem = dataclasses.replace(mem, labels=labels)

@@ -142,6 +142,7 @@ def _update_masks(cfg, n_imgs, g: int, causal: bool):
 def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
                    causal: Optional[bool] = None, extra_mask=None,
                    dtype=jnp.bfloat16, unroll_layers: bool = False,
+                   remat: bool = False,
                    impl: Optional[str] = None) -> Tuple[MemoryState, jax.Array]:
     """One memory-update step over G images.
 
@@ -193,6 +194,9 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
                           num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
                           impl=impl)
         return (x, kv_buf), raw
+
+    if remat:
+        body = jax.checkpoint(body)
 
     if unroll_layers:
         # python-level layer loop: keeps the big KV buffer OUT of a

@@ -46,7 +46,8 @@ def init_encoder(key, cfg: EncoderConfig):
 
 
 def encoder_forward(params, cfg: EncoderConfig, img, positions,
-                    dtype=jnp.float32, impl: Optional[str] = None):
+                    dtype=jnp.float32, remat: bool = False,
+                    impl: Optional[str] = None):
     """Encode images to patch tokens.
 
     Args:
@@ -73,5 +74,10 @@ def encoder_forward(params, cfg: EncoderConfig, img, positions,
                           cfg.ln_eps, impl=impl)
         return x, None
 
+    if remat:
+        # training: save only the per-layer carries, recompute block
+        # internals in the backward pass (trades ~1 extra forward for the
+        # dominant share of activation memory)
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
     return layer_norm(params["norm"], x.astype(jnp.float32), cfg.ln_eps)
