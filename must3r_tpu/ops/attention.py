@@ -373,7 +373,7 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
 
 
 def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
-               block_k: int = 1024, block_q: int = 1024,
+               block_k: int = 512, block_q: int = 512,
                interpret: bool = False):
     """Flash CA kernel over the packed KV cache.
 
