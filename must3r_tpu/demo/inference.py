@@ -113,8 +113,10 @@ def must3r_inference(core: InferenceCore, views: Sequence[dict],
     # -- reconstruction (keyframes first) ------------------------------------
     imgs_o = imgs[jnp.asarray(order)]
     portrait_o = portrait[jnp.asarray(order)]
-    to_render = (list(range(num_mem_images, v)) if render_once
-                 else list(range(v)))
+    # render_once in the reference reuses the memory views' first-pass
+    # predictions; here every view is rendered against the final memory
+    # (strictly more consistent, and the render phase is batched anyway)
+    to_render = list(range(v))
     out = offline_reconstruction(
         core, imgs_o, img_hw=img_hw, portrait=portrait_o,
         mem_views=list(range(num_mem_images)),
@@ -125,10 +127,6 @@ def must3r_inference(core: InferenceCore, views: Sequence[dict],
 
     # -- unpermute back to input order ---------------------------------------
     inv = np.argsort(np.asarray(order))
-    if render_once:
-        # rendered only non-memory views; memory views come from the update
-        # pass -- for simplicity render_once callers index via 'order'
-        inv = np.arange(len(to_render))
 
     def pick(a):
         a = np.asarray(a)

@@ -16,7 +16,6 @@ compiled executable (host routes views to buckets).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Optional, Sequence
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from must3r_tpu.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from must3r_tpu.checkpoint import load_checkpoint, save_checkpoint
 from must3r_tpu.engine.train import (
     TrainSettings,
     cosine_schedule,

@@ -17,7 +17,7 @@ approach capacity.
 from __future__ import annotations
 
 from collections import deque
-from typing import Callable, List, Optional
+from typing import Callable, Optional
 
 import jax.numpy as jnp
 import numpy as np

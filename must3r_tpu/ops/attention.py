@@ -41,7 +41,6 @@ Mask convention summary (matching the reference):
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

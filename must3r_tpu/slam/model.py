@@ -25,8 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import pickle
-from functools import partial
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +39,6 @@ from must3r_tpu.models.encoder import encoder_forward
 from must3r_tpu.ops.geometry import apply_exp_to_norm
 from must3r_tpu.ops.pose import (
     estimate_focal_weiszfeld,
-    inv_se3,
     make_c2w,
     rigid_points_registration,
 )

@@ -11,8 +11,6 @@ The tree itself is the first-party C++ KD-tree in must3r_tpu/native
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from must3r_tpu.native import load_library
