@@ -22,7 +22,15 @@ def get_args_parser():
     p.add_argument("--init_num_images", type=int, default=2)
     p.add_argument("--retrieval", default=None,
                    help="retrieval checkpoint (.pth) for keyframe selection")
-    p.add_argument("--is_sequence", action="store_true")
+    p.add_argument("--mode", default="retrieval",
+                   choices=["retrieval", "linseq", "vidslam", "vidseq"],
+                   help="reference demo execution modes (gradio.py:354-358)")
+    p.add_argument("--is_sequence", action="store_true",
+                   help="alias for --mode linseq")
+    p.add_argument("--local_context_size", type=int, default=25)
+    p.add_argument("--keyframe_interval", type=int, default=3)
+    p.add_argument("--keyframe_overlap_thr", type=float, default=0.15)
+    p.add_argument("--min_conf_keyframe", type=float, default=1.5)
     p.add_argument("--num_refinements_iterations", type=int, default=0)
     p.add_argument("--max_bs", type=int, default=8)
     p.add_argument("--conf_thrs", type=float, nargs="+",
@@ -35,6 +43,7 @@ def main(argv=None):
     args = get_args_parser().parse_args(argv)
     from must3r_tpu.cli.common import load_or_init_model, make_core
     from must3r_tpu.demo import must3r_inference, scene_to_glb, scene_to_ply
+    from must3r_tpu.tools.viz import scene_to_html
     from must3r_tpu.tools.image import list_images, load_images
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -62,15 +71,31 @@ def main(argv=None):
         f"mixed aspect buckets {shapes}: run per-bucket (multi-AR routing "
         "is handled by the library API, see engine.inference)")
 
-    scene = must3r_inference(
-        core, views, num_mem_images=args.num_mem_images,
-        init_num_images=args.init_num_images,
-        is_sequence=args.is_sequence, retrieval_head=retrieval_head,
-        num_refinements_iterations=args.num_refinements_iterations,
-        encode_bs=args.max_bs, render_bs=args.max_bs, verbose=True)
+    mode = "linseq" if args.is_sequence else args.mode
+    if mode in ("vidslam", "vidseq"):
+        from must3r_tpu.demo import must3r_inference_video
+
+        scene = must3r_inference_video(
+            core, views, init_num_images=args.init_num_images,
+            local_context_size=args.local_context_size,
+            num_refinements_iterations=args.num_refinements_iterations,
+            mode="slam" if mode == "vidslam" else "interval",
+            keyframe_interval=args.keyframe_interval,
+            keyframe_overlap_thr=args.keyframe_overlap_thr,
+            min_conf_keyframe=args.min_conf_keyframe,
+            encode_bs=args.max_bs, verbose=True)
+    else:
+        scene = must3r_inference(
+            core, views, num_mem_images=args.num_mem_images,
+            init_num_images=args.init_num_images,
+            is_sequence=(mode == "linseq"), retrieval_head=retrieval_head,
+            num_refinements_iterations=args.num_refinements_iterations,
+            encode_bs=args.max_bs, render_bs=args.max_bs, verbose=True)
 
     with open(os.path.join(args.output_dir, "scene.pkl"), "wb") as f:
         pickle.dump(scene, f)
+    scene_to_html(scene, os.path.join(args.output_dir, "scene.html"),
+                  conf_thr=args.conf_thrs[0])
     for thr in args.conf_thrs:
         glb = os.path.join(args.output_dir, f"scene_conf{thr:g}.glb")
         ply = os.path.join(args.output_dir, f"scene_conf{thr:g}.ply")

@@ -30,7 +30,43 @@ def get_args_parser():
                    help="e.g. laplacian or laplacian-conf")
     p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--gt_poses", default=None,
+                   help="GT trajectory for ATE/RPE: .npz (poses/timestamps)"
+                        " or TUM format (t tx ty tz qx qy qz qw)")
     return p
+
+
+def load_gt_trajectory(path):
+    """Returns (poses [N, 4, 4] c2w, timestamps [N])."""
+    import numpy as np
+
+    if path.endswith(".npz"):
+        d = np.load(path, allow_pickle=True)
+        return d["poses"], d.get("timestamps",
+                                 np.arange(len(d["poses"])))
+    poses, ts = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals = [float(v) for v in line.split()]
+            t, tx, ty, tz, qx, qy, qz, qw = vals[:8]
+            n = (qx * qx + qy * qy + qz * qz + qw * qw) ** 0.5
+            qx, qy, qz, qw = qx / n, qy / n, qz / n, qw / n
+            r = np.asarray([
+                [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+                 2 * (qx * qz + qy * qw)],
+                [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+                 2 * (qy * qz - qx * qw)],
+                [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+                 1 - 2 * (qx * qx + qy * qy)]])
+            p = np.eye(4)
+            p[:3, :3] = r
+            p[:3, 3] = [tx, ty, tz]
+            poses.append(p)
+            ts.append(t)
+    return np.asarray(poses), np.asarray(ts)
 
 
 def main(argv=None):
@@ -81,6 +117,22 @@ def main(argv=None):
                          fps=fps, nframes=n)
     if args.save_memory:
         slam.save_memory(os.path.join(args.output_dir, "memory.pkl"))
+
+    if args.gt_poses:
+        import json
+
+        import numpy as np
+
+        from must3r_tpu.slam.metrics import evaluate_trajectory
+
+        gt, gt_ts = load_gt_trajectory(args.gt_poses)
+        pred = np.stack(slam.all_poses)
+        pred_ts = np.asarray(slam.all_timestamps)
+        report = evaluate_trajectory(pred, gt, pred_ts, gt_ts)
+        print("trajectory eval:", report)
+        with open(os.path.join(args.output_dir, "ate_report.json"),
+                  "w") as f:
+            json.dump(report, f, indent=2)
 
 
 if __name__ == "__main__":

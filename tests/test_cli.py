@@ -91,3 +91,32 @@ def test_slam_cli(tmp_path, image_folder):
     data = np.load(os.path.join(out, "all_poses.npz"), allow_pickle=True)
     assert data["poses"].shape == (4, 4, 4)
     assert os.path.isfile(os.path.join(out, "memory.pkl"))
+
+
+def test_reconstruct_cli_video_mode(tmp_path, image_folder):
+    out = str(tmp_path / "vrec")
+    rec_main(["--preset", "tiny", "--input", image_folder,
+              "--output_dir", out, "--image_size", "64",
+              "--mode", "vidseq", "--keyframe_interval", "2",
+              "--conf_thrs", "1.0", "--amp", "fp32", "--max_bs", "4"])
+    assert os.path.isfile(os.path.join(out, "scene.pkl"))
+    assert os.path.isfile(os.path.join(out, "scene.html"))
+
+
+def test_slam_cli_gt_eval(tmp_path, image_folder):
+    import numpy as np
+
+    out = str(tmp_path / "slamgt")
+    # fabricate a TUM-format GT file for frames 0..3
+    gt = tmp_path / "gt.txt"
+    with open(gt, "w") as f:
+        f.write("# ts tx ty tz qx qy qz qw\n")
+        for i in range(4):
+            f.write(f"{i} {0.1*i} 0 0 0 0 0 1\n")
+    slam_main(["--preset", "tiny", "--input", image_folder,
+               "--output_dir", out, "--res", "64", "--subsamp", "1",
+               "--num_init_frames", "1", "--max_keyframes", "8",
+               "--amp", "fp32", "--gt_poses", str(gt)])
+    import json
+    rep = json.load(open(os.path.join(out, "ate_report.json")))
+    assert "ate_rmse" in rep and np.isfinite(rep["ate_rmse"])
