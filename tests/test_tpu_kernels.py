@@ -89,3 +89,37 @@ def test_hybrid_grad_runs_on_tpu():
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+def test_full_decoder_pallas_vs_xla_on_tpu():
+    """Integration: several update steps + batched render through the real
+    kernels must match the pure-XLA path end-to-end (bf16 tolerance).
+    Catches kernel/driver integration bugs that per-op tests can miss."""
+    from must3r_tpu.config import DecoderConfig, FeedbackType
+    from must3r_tpu.memory import init_memory
+    from must3r_tpu.models import decoder_render, decoder_update, init_decoder
+
+    cfg = DecoderConfig(img_size=(128, 128), enc_embed_dim=192,
+                        patch_size=16, embed_dim=192, output_dim=16 * 16 * 7,
+                        depth=3, num_heads=3,
+                        feedback=FeedbackType.SINGLE_MLP)
+    params = init_decoder(jax.random.PRNGKey(0), cfg)
+    b, n = 2, 64
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 5, n, 192),
+                          jnp.float32) * 0.5
+    from must3r_tpu.ops.patch import patchify_positions
+    pos1 = jnp.broadcast_to(jnp.asarray(patchify_positions(8, 8)),
+                            (b, 5, n, 2))
+
+    outs = {}
+    for impl in ("pallas", "chunked"):
+        mem = init_memory(cfg.depth, b, cfg.num_heads, cfg.head_dim, 1024,
+                          dtype=jnp.bfloat16)
+        mem, _ = decoder_update(params, cfg, mem, x[:, :2], pos1[:, :2],
+                                causal=False, impl=impl)
+        mem, _ = decoder_update(params, cfg, mem, x[:, 2:3], pos1[:, 2:3],
+                                causal=False, impl=impl)
+        toks = decoder_render(params, cfg, mem, x, pos1, impl=impl)
+        outs[impl] = np.asarray(toks.astype(jnp.float32))
+    err = np.abs(outs["pallas"] - outs["chunked"]).max()
+    assert err < 0.1, err   # bf16 accumulation-order tolerance
