@@ -26,18 +26,40 @@ from must3r_tpu.engine.loop import Trainer, TrainLoopConfig
 from must3r_tpu.engine.train import TrainSettings
 from must3r_tpu.models import init_decoder, init_encoder
 
-ENC = EncoderConfig(img_size=(64, 64), patch_size=16, embed_dim=256,
-                    depth=6, num_heads=4)
-DEC = DecoderConfig(img_size=(64, 64), enc_embed_dim=256, patch_size=16,
-                    embed_dim=192, output_dim=16 * 16 * 7, depth=4,
-                    num_heads=3, feedback=FeedbackType.SINGLE_MLP,
-                    causal=True)
+import sys as _sys
+
+if "--preset224" in _sys.argv:
+    # flagship towers (ViT-L encoder / ViT-B decoder) at 224^2 on the
+    # synthetic dataset -- full-architecture learning evidence
+    from must3r_tpu.config import must3r_224_configs
+    import dataclasses as _dc
+
+    ENC, DEC = must3r_224_configs()
+    DEC = _dc.replace(DEC, causal=True)
+    RES = ((224, 224),)
+    RENDER_HW = (224, 224)
+    BATCH = 1
+    FINETUNE_ENC = False      # frozen encoder, like the reference default
+    BLR = 6e-4
+else:
+    ENC = EncoderConfig(img_size=(64, 64), patch_size=16, embed_dim=256,
+                        depth=6, num_heads=4)
+    DEC = DecoderConfig(img_size=(64, 64), enc_embed_dim=256, patch_size=16,
+                        embed_dim=192, output_dim=16 * 16 * 7, depth=4,
+                        num_heads=3, feedback=FeedbackType.SINGLE_MLP,
+                        causal=True)
+    RES = ((64, 48),)
+    RENDER_HW = (48, 64)
+    BATCH = 4
+    FINETUNE_ENC = True
+    BLR = 3e-3
 
 
 def make_eval_loader():
-    ds = SyntheticScenes(num_views=4, resolutions=((64, 48),),
-                         epoch_size=16, render_hw=(48, 64), seed=123)
-    return get_data_loader(ds, batch_size=4)
+    ds = SyntheticScenes(num_views=4, resolutions=RES,
+                         epoch_size=8 * BATCH, render_hw=RENDER_HW,
+                         seed=123)
+    return get_data_loader(ds, batch_size=BATCH)
 
 
 def run_eval(params):
@@ -48,7 +70,8 @@ def run_eval(params):
 
 
 def main():
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    epochs = int(sys.argv[1]) if len(sys.argv) > 1 and \
+        sys.argv[1].isdigit() else 20
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params = {"encoder": init_encoder(k1, ENC),
               "decoder": init_decoder(k2, DEC)}
@@ -56,13 +79,14 @@ def main():
     before = run_eval(params)
     print("before:", before, flush=True)
 
-    train_ds = SyntheticScenes(num_views=4, resolutions=((64, 48),),
-                               epoch_size=64, render_hw=(48, 64), seed=7)
-    loader = get_data_loader(train_ds, batch_size=4)
-    ts = TrainSettings(finetune_encoder=True, dtype="bfloat16",
+    train_ds = SyntheticScenes(num_views=4, resolutions=RES,
+                               epoch_size=16 * BATCH, render_hw=RENDER_HW,
+                               seed=7)
+    loader = get_data_loader(train_ds, batch_size=BATCH)
+    ts = TrainSettings(finetune_encoder=FINETUNE_ENC, dtype="bfloat16",
                        dropout_p=0.05)
-    cfg = TrainLoopConfig(epochs=epochs, warmup_epochs=1.0, blr=3e-3,
-                          batch_size=4, memory_num_views=4, causal=True,
+    cfg = TrainLoopConfig(epochs=epochs, warmup_epochs=1.0, blr=BLR,
+                          batch_size=BATCH, memory_num_views=4, causal=True,
                           memory_batch_views=2, keep_freq=0, print_freq=8,
                           output_dir="/tmp/demo_train", seed=1)
     t0 = time.time()
@@ -73,12 +97,17 @@ def main():
     after = run_eval(trainer.params)
     print("after:", after, flush=True)
 
-    report = {"encoder": "6x256", "decoder": "4x192", "epochs": epochs,
+    tag = "224-flagship" if "--preset224" in sys.argv else "tiny"
+    report = {"config": tag,
+              "encoder": f"{ENC.depth}x{ENC.embed_dim}",
+              "decoder": f"{DEC.depth}x{DEC.embed_dim}", "epochs": epochs,
               "steps": epochs * len(loader), "train_wall_s": round(wall, 1),
               "final_loss": stats.get("loss"),
               "eval_before": before, "eval_after": after}
     os.makedirs("docs", exist_ok=True)
-    with open("docs/LEARNING_DEMO.json", "w") as f:
+    out_name = ("docs/LEARNING_DEMO_224.json"
+                if "--preset224" in sys.argv else "docs/LEARNING_DEMO.json")
+    with open(out_name, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
 
