@@ -263,6 +263,20 @@ class Trainer:
         last = os.path.join(self.cfg.output_dir, "checkpoint-last")
         if not os.path.isfile(os.path.join(last, "meta.json")):
             return False
+        # refuse to resume a checkpoint of a different model (e.g. a stale
+        # output_dir from another run)
+        import json as _json
+
+        from must3r_tpu.config import config_to_json
+
+        with open(os.path.join(last, "meta.json")) as f:
+            meta_probe = _json.load(f)
+        if (meta_probe.get("encoder_config") != config_to_json(self.enc_cfg)
+                or meta_probe.get("decoder_config")
+                != config_to_json(self.dec_cfg)):
+            print(f"WARNING: {last} holds a different model config; "
+                  "not resuming")
+            return False
         template = {"params": self.params, "opt_state": self.opt_state}
         params, _, _, opt_state, meta = load_checkpoint(last, template)
         self.params = params

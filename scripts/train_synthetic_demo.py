@@ -79,6 +79,7 @@ def main():
     before = run_eval(params)
     print("before:", before, flush=True)
 
+    tag_dir = "224" if "--preset224" in sys.argv else "tiny"
     train_ds = SyntheticScenes(num_views=4, resolutions=RES,
                                epoch_size=16 * BATCH, render_hw=RENDER_HW,
                                seed=7)
@@ -88,7 +89,7 @@ def main():
     cfg = TrainLoopConfig(epochs=epochs, warmup_epochs=1.0, blr=BLR,
                           batch_size=BATCH, memory_num_views=4, causal=True,
                           memory_batch_views=2, keep_freq=0, print_freq=8,
-                          output_dir="/tmp/demo_train", seed=1)
+                          output_dir="/tmp/demo_train_" + tag_dir, seed=1)
     t0 = time.time()
     trainer = Trainer(ENC, DEC, params, loader, cfg, ts)
     stats = trainer.train()
