@@ -278,7 +278,12 @@ class Trainer:
                   "not resuming")
             return False
         template = {"params": self.params, "opt_state": self.opt_state}
-        params, _, _, opt_state, meta = load_checkpoint(last, template)
+        try:
+            params, _, _, opt_state, meta = load_checkpoint(last, template)
+        except Exception as e:
+            print(f"WARNING: cannot resume from {last} ({e}); "
+                  "starting fresh")
+            return False
         self.params = params
         if opt_state is not None:
             self.opt_state = opt_state
