@@ -81,7 +81,7 @@ def main():
 
     tag_dir = "224" if "--preset224" in sys.argv else "tiny"
     train_ds = SyntheticScenes(num_views=4, resolutions=RES,
-                               epoch_size=16 * BATCH, render_hw=RENDER_HW,
+                               epoch_size=160 * BATCH, render_hw=RENDER_HW,
                                seed=7)
     loader = get_data_loader(train_ds, batch_size=BATCH)
     ts = TrainSettings(finetune_encoder=FINETUNE_ENC, dtype="bfloat16",
