@@ -233,3 +233,56 @@ def test_feedback_zero_init_is_inactive(rng):
                                impl="chunked")
     np.testing.assert_allclose(np.asarray(mem_fb.kv), np.asarray(mem_no.kv),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_noncausal_update_images_attend_each_other(rng):
+    """Non-causal (inference) updates let every image in a step attend the
+    others' fresh tokens; causal restricts to earlier labels. The two modes
+    must therefore differ for image 0 of a non-init step."""
+    cfg = dataclasses.replace(DEC_CFG, feedback=FeedbackType.NONE)
+    params = init_decoder(jax.random.PRNGKey(5), cfg)
+    n, b = 4, 1
+    x0 = jnp.asarray(rng.standard_normal((b, 1, n, 64)), jnp.float32)
+    x12 = jnp.asarray(rng.standard_normal((b, 2, n, 64)), jnp.float32)
+    pos1 = _positions(b, 1)
+    pos2 = _positions(b, 2)
+    cap = round_capacity(8 * n, 16)
+
+    outs = {}
+    for causal in (False, True):
+        mem = init_memory(cfg.depth, b, cfg.num_heads, cfg.head_dim, cap,
+                          dtype=jnp.float32)
+        mem, _ = decoder_update(params, cfg, mem, x0, pos1, causal=causal,
+                                dtype=jnp.float32, impl="chunked")
+        _, toks = decoder_update(params, cfg, mem, x12, pos2, causal=causal,
+                                 dtype=jnp.float32, impl="chunked")
+        outs[causal] = np.asarray(toks)
+    # image at step-index 0 (label 1): non-causal sees label 2's tokens,
+    # causal does not
+    assert np.abs(outs[False][:, 0] - outs[True][:, 0]).max() > 1e-4
+    # the last image attends the same label set either way, but reads
+    # image 1's per-layer memory tokens, which are mode-dependent -- so
+    # its output differs too (cross-layer coupling)
+    assert np.abs(outs[False][:, 1] - outs[True][:, 1]).max() > 1e-6
+
+
+def test_update_masks_init_exception_values():
+    """Pin the (q_self, q_upper) encodings of the reference mask rules."""
+    from must3r_tpu.models.decoder import _update_masks
+    from must3r_tpu.memory import INT32_MAX
+
+    # causal init with 3 images: img0 attends itself+img1 (q_upper=2)
+    qs, qu = _update_masks(DEC_CFG, jnp.int32(0), 3, causal=True)
+    np.testing.assert_array_equal(np.asarray(qs), [-2, 1, 2])
+    np.testing.assert_array_equal(np.asarray(qu), [2, 1, 2])
+    # causal later step: strictly-earlier only
+    qs, qu = _update_masks(DEC_CFG, jnp.int32(5), 2, causal=True)
+    np.testing.assert_array_equal(np.asarray(qs), [5, 6])
+    np.testing.assert_array_equal(np.asarray(qu), [5, 6])
+    # non-causal init single image: unmasked
+    qs, qu = _update_masks(DEC_CFG, jnp.int32(0), 1, causal=False)
+    assert int(qs[0]) == -2 and int(qu[0]) == INT32_MAX
+    # non-causal later: self-exclusion only
+    qs, qu = _update_masks(DEC_CFG, jnp.int32(3), 2, causal=False)
+    np.testing.assert_array_equal(np.asarray(qs), [3, 4])
+    assert (np.asarray(qu) == INT32_MAX).all()
