@@ -67,3 +67,23 @@ def test_phase_timer_and_memstats():
     assert "a:" in rep and "b:" in rep
     stats = device_memory_stats()
     assert len(stats) >= 1
+
+
+def test_multi_ar_portrait_views(core, rng):
+    """Portrait views (stored transposed) flow through positions, head
+    transpose and postprocess; their outputs stay aligned with storage."""
+    views = [_view(rng, (48, 64), portrait=False),
+             _view(rng, (48, 64), portrait=True),
+             _view(rng, (48, 64), portrait=True),
+             _view(rng, (48, 64), portrait=False)]
+    out = offline_reconstruction_multi_ar(core, views, render_bs=4)
+    for r in out:
+        assert r["pts3d"].shape == (48, 64, 3)
+        assert np.isfinite(r["pts3d"]).all()
+    # a portrait view must produce different predictions than the same
+    # pixels treated as landscape (positions + head arrangement differ)
+    v_land = [dict(views[1], portrait=False)]
+    v_port = [dict(views[1], portrait=True)]
+    out_l = offline_reconstruction_multi_ar(core, v_land, render_bs=1)
+    out_p = offline_reconstruction_multi_ar(core, v_port, render_bs=1)
+    assert np.abs(out_l[0]["pts3d"] - out_p[0]["pts3d"]).max() > 1e-4
