@@ -19,6 +19,14 @@ relabel) becomes a masked write at static shape:
 
 All functions are pure; under ``jit`` with ``donate_argnums`` the updates
 happen in-place in HBM.
+
+Layout invariant: an image's tokens are always appended as ONE contiguous
+run per batch element (``append_tokens``), and ``compact`` preserves slot
+order among live tokens (stable sort) -- so a label's slots form a single
+contiguous segment at all times. ``update_label_tokens`` and
+``refresh_label_from_segment`` rely on this and locate the segment
+independently per batch element (offsets may differ across the batch after
+per-element eviction patterns diverge).
 """
 
 from __future__ import annotations
@@ -155,17 +163,24 @@ def update_label_tokens(mem: MemoryState, label, new_kv: jax.Array,
         (T = tokens per image).
       new_labels_row: [B, T] labels the replacements carry (== label).
 
-    Implementation: the image's tokens were appended contiguously, so the
-    slot range is [start, start+T) where start = argmax(labels == label).
+    Invariant (see module docstring): an image's tokens are appended as one
+    contiguous run and `compact` preserves slot order (stable sort), so the
+    slot range is [start_b, start_b+T) per batch element, where
+    start_b = argmax(labels[b] == label). Batch elements may hold the image
+    at different offsets; each gets its own dynamic-update-slice.
     """
     del new_labels_row
-    hit = (mem.labels == jnp.int32(label))
-    start = jnp.argmax(hit[0]).astype(jnp.int32)
-    kv = jax.lax.dynamic_update_slice(
-        mem.kv, new_kv.astype(mem.kv.dtype), (0, 0, 0, start, 0))
-    # only apply if the label exists; otherwise keep as-is
-    exists = jnp.any(hit)
-    kv = jnp.where(exists, kv, mem.kv)
+    hit = (mem.labels == jnp.int32(label))                 # [B, S]
+    starts = jnp.argmax(hit, axis=1).astype(jnp.int32)     # [B]
+    exists = jnp.any(hit, axis=1)                          # [B]
+
+    def upd(kv_b, new_b, start):
+        return jax.lax.dynamic_update_slice(kv_b, new_b, (0, 0, start, 0))
+
+    kv = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(
+        mem.kv, new_kv.astype(mem.kv.dtype), starts)
+    # only apply where the label exists; otherwise keep as-is
+    kv = jnp.where(exists[None, :, None, None, None], kv, mem.kv)
     return MemoryState(kv=kv, labels=mem.labels, length=mem.length,
                        n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
                        protected_tokens=mem.protected_tokens)
@@ -181,18 +196,23 @@ def refresh_label_from_segment(mem: MemoryState, old_label, seg_start,
     implements the reference's keyframe-refresh bookkeeping in
     `inference_video_multi_ar` (`_update_in_mem` + `_remove_from_mem`,
     inference.py:204-227). Label 0 (the reference image) is never updated
-    (values kept), matching the reference's skip."""
-    new_kv = jax.lax.dynamic_slice(
-        mem.kv, (0, 0, 0, seg_start, 0),
-        (*mem.kv.shape[:3], n_tokens, mem.kv.shape[4]))
-    hit = mem.labels[0] == jnp.int32(old_label)
-    pos0 = jnp.argmax(hit).astype(jnp.int32)
-    existing = jax.lax.dynamic_slice(
-        mem.kv, (0, 0, 0, pos0, 0),
-        (*mem.kv.shape[:3], n_tokens, mem.kv.shape[4]))
-    ok = jnp.any(hit) & (jnp.int32(old_label) > 0)
-    blk = jnp.where(ok, new_kv, existing)
-    kv = jax.lax.dynamic_update_slice(mem.kv, blk, (0, 0, 0, pos0, 0))
+    (values kept), matching the reference's skip.
+
+    Batch-correct: the target run may sit at a different offset per batch
+    element (same contiguity invariant as :func:`update_label_tokens`)."""
+    hit = mem.labels == jnp.int32(old_label)               # [B, S]
+    pos = jnp.argmax(hit, axis=1).astype(jnp.int32)        # [B]
+    ok = jnp.any(hit, axis=1) & (jnp.int32(old_label) > 0)  # [B]
+
+    def refresh(kv_b, pos_b):
+        # kv_b: [L, H, S, 2*Dh] one batch element
+        new_b = jax.lax.dynamic_slice(
+            kv_b, (0, 0, seg_start, 0),
+            (*kv_b.shape[:2], n_tokens, kv_b.shape[3]))
+        return jax.lax.dynamic_update_slice(kv_b, new_b, (0, 0, pos_b, 0))
+
+    kv = jax.vmap(refresh, in_axes=(1, 0), out_axes=1)(mem.kv, pos)
+    kv = jnp.where(ok[None, :, None, None, None], kv, mem.kv)
     return MemoryState(kv=kv, labels=mem.labels, length=mem.length,
                        n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
                        protected_tokens=mem.protected_tokens)
@@ -213,12 +233,21 @@ def compact(mem: MemoryState) -> MemoryState:
 
     O(S log S) host-free gather; call occasionally (e.g. when holes exceed
     25% of length) -- the label masks keep results identical either way.
+    The stable sort preserves slot order among live tokens, keeping each
+    image's run contiguous (the invariant `update_label_tokens` relies on).
+    Each batch element packs independently; `length` becomes the max live
+    count (slots past a shorter element's count stay label -1, which the
+    CA kernel masks).
     """
     live = mem.labels >= 0                                   # [B, S]
-    order = jnp.argsort(~live[0], stable=True)               # live first
-    labels = jnp.take(mem.labels, order, axis=1)
-    kv = jnp.take(mem.kv, order, axis=3)
-    new_len = jnp.sum(live[0]).astype(jnp.int32)
+
+    def pack(kv_b, lab_b, live_b):
+        order = jnp.argsort(~live_b, stable=True)            # live first
+        return jnp.take(kv_b, order, axis=2), jnp.take(lab_b, order)
+
+    kv, labels = jax.vmap(pack, in_axes=(1, 0, 0), out_axes=(1, 0))(
+        mem.kv, mem.labels, live)
+    new_len = jnp.max(jnp.sum(live, axis=1)).astype(jnp.int32)
     return MemoryState(kv=kv, labels=labels, length=new_len,
                        n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
                        protected_tokens=jnp.minimum(mem.protected_tokens,

@@ -119,3 +119,66 @@ def test_round_capacity():
     assert round_capacity(1024) == 1024
     assert round_capacity(1025) == 2048
     assert round_capacity(100, 16) == 112
+
+
+def test_label_ops_batched_divergent_offsets(rng):
+    """B=2 where image 5's contiguous run sits at a DIFFERENT offset per
+    batch element (possible after per-element eviction histories): the
+    label ops must locate and edit each element's own segment."""
+    from must3r_tpu.memory import update_label_tokens
+
+    b = 2
+    mem = init_memory(L, b, H, DH, CAP, dtype=jnp.float32)
+    kv = np.zeros((L, b, H, CAP, 2 * DH), np.float32)
+    labels = np.full((b, CAP), -1, np.int32)
+    # element 0: label 5 at [0, 4); element 1: label 5 at [4, 8)
+    labels[0, 0:4] = 5
+    labels[0, 4:8] = 1
+    labels[1, 0:4] = 1
+    labels[1, 4:8] = 5
+    kv[:, 0, :, 0:8] = 1.0
+    kv[:, 1, :, 0:8] = 1.0
+    mem = MemoryState(kv=jnp.asarray(kv), labels=jnp.asarray(labels),
+                      length=jnp.int32(8), n_imgs=jnp.int32(2),
+                      protected_imgs=jnp.int32(0),
+                      protected_tokens=jnp.int32(0))
+
+    new = jnp.full((L, b, H, 4, 2 * DH), 9.0, jnp.float32)
+    out = update_label_tokens(mem, 5, new, None)
+    got = np.asarray(out.kv[0, :, 0, :, 0])
+    np.testing.assert_allclose(got[0, 0:4], 9.0)   # elem 0 segment
+    np.testing.assert_allclose(got[0, 4:8], 1.0)   # elem 0 other image
+    np.testing.assert_allclose(got[1, 0:4], 1.0)   # elem 1 other image
+    np.testing.assert_allclose(got[1, 4:8], 9.0)   # elem 1 segment
+
+    # missing label: no-op on every element
+    out2 = update_label_tokens(mem, 77, new, None)
+    np.testing.assert_allclose(np.asarray(out2.kv), np.asarray(mem.kv))
+
+
+def test_compact_batched_divergent_holes(rng):
+    """compact() packs each batch element independently."""
+    b = 2
+    mem = init_memory(L, b, H, DH, CAP, dtype=jnp.float32)
+    kv = np.zeros((L, b, H, CAP, 2 * DH), np.float32)
+    labels = np.full((b, CAP), -1, np.int32)
+    # element 0: hole at [0, 4); element 1: hole at [4, 8)
+    labels[0, 4:8] = 2
+    kv[:, 0, :, 4:8] = 3.0
+    labels[1, 0:4] = 2
+    kv[:, 1, :, 0:4] = 3.0
+    labels[1, 8:12] = 4
+    kv[:, 1, :, 8:12] = 5.0
+    mem = MemoryState(kv=jnp.asarray(kv), labels=jnp.asarray(labels),
+                      length=jnp.int32(12), n_imgs=jnp.int32(3),
+                      protected_imgs=jnp.int32(0),
+                      protected_tokens=jnp.int32(0))
+    out = compact(mem)
+    assert int(out.length) == 8        # max live count over the batch
+    lab = np.asarray(out.labels)
+    np.testing.assert_array_equal(lab[0, :4], 2)
+    assert (lab[0, 4:] == -1).all()
+    np.testing.assert_array_equal(lab[1, :4], 2)
+    np.testing.assert_array_equal(lab[1, 4:8], 4)
+    np.testing.assert_allclose(np.asarray(out.kv[0, 0, 0, :4, 0]), 3.0)
+    np.testing.assert_allclose(np.asarray(out.kv[0, 1, 0, 4:8, 0]), 5.0)
