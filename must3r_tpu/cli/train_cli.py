@@ -47,6 +47,15 @@ def get_args_parser():
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--keep_freq", type=int, default=5)
     p.add_argument("--print_freq", type=int, default=20)
+    # distributed (torchrun replacement; also via MUST3R_* env vars):
+    # --batch_size is PER PROCESS (reference semantics, README.md:242)
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for multi-host training")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--dp_mesh", action="store_true", default=False,
+                   help="train over a dp mesh spanning all visible "
+                        "devices (implied by multi-process mode)")
     return p
 
 
@@ -57,7 +66,9 @@ def build_dataset(spec: str):
 
     registry = {"SyntheticScenes": ds_mod.SyntheticScenes,
                 "Co3d": ds_mod.Co3d, "ScanNetpp": ds_mod.ScanNetpp,
-                "SceneDirDataset": ds_mod.SceneDirDataset}
+                "SceneDirDataset": ds_mod.SceneDirDataset,
+                "Co3dPreprocessed": ds_mod.Co3dPreprocessed,
+                "ScanNetppPreprocessed": ds_mod.ScanNetppPreprocessed}
 
     def build(node):
         if isinstance(node, ast.BinOp):
@@ -75,9 +86,16 @@ def build_dataset(spec: str):
         if isinstance(node, ast.Call):
             name = node.func.id
             assert name in registry, f"unknown dataset {name}"
-            kwargs = {kw.arg: ast.literal_eval(kw.value)
-                      for kw in node.keywords}
-            args = [ast.literal_eval(a) for a in node.args]
+
+            def lit(v):
+                # bare names (reference passes `transform=ColorJitter`,
+                # README.md:242) become strings resolved by the dataset
+                if isinstance(v, ast.Name):
+                    return v.id
+                return ast.literal_eval(v)
+
+            kwargs = {kw.arg: lit(kw.value) for kw in node.keywords}
+            args = [lit(a) for a in node.args]
             return registry[name](*args, **kwargs)
         raise ValueError(f"cannot parse dataset node {ast.dump(node)}")
 
@@ -88,12 +106,20 @@ def main(argv=None):
     import jax
 
     args = get_args_parser().parse_args(argv)
+    from must3r_tpu.parallel import init_distributed
+
+    # before any backend use: multi-host bring-up (reference
+    # init_distributed_mode, engine/train.py:224)
+    multi = init_distributed(args.coordinator, args.num_processes,
+                             args.process_id)
+
     from must3r_tpu.cli.common import load_or_init_model
     import dataclasses as dc
 
     from must3r_tpu.datasets import get_data_loader
     from must3r_tpu.engine.loop import Trainer, TrainLoopConfig
     from must3r_tpu.engine.train import TrainSettings
+    from must3r_tpu.parallel import make_mesh, process_count, process_index
 
     params, enc_cfg, dec_cfg = load_or_init_model(
         args.chkpt, args.preset, img_size=args.image_size, seed=args.seed)
@@ -102,9 +128,14 @@ def main(argv=None):
                          dropout_mode=args.dropout_mode)
 
     dataset = build_dataset(args.dataset)
+    # each process loads only its own shard of the global batch
+    # (replaces DistributedSampler, SURVEY §5.8)
     loader = get_data_loader(dataset, args.batch_size,
+                             world_size=process_count(),
+                             rank=process_index(),
                              num_workers=args.num_workers,
                              patch_size=dec_cfg.patch_size)
+    mesh = make_mesh() if (multi or args.dp_mesh) else None
 
     ts = TrainSettings(
         finetune_encoder=args.finetune_encoder,
@@ -123,7 +154,7 @@ def main(argv=None):
         output_dir=args.output_dir)
 
     trainer = Trainer(enc_cfg, dec_cfg, params, loader, cfg, ts,
-                      n_devices=jax.device_count())
+                      n_devices=jax.device_count(), mesh=mesh)
     stats = trainer.train()
     print("final:", stats)
 

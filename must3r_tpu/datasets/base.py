@@ -24,6 +24,7 @@ import numpy as np
 from must3r_tpu.tools.image import (
     get_resize_function,
     normalize_image,
+    resolve_transform,
 )
 
 
@@ -51,13 +52,18 @@ def depthmap_to_world_points(depthmap: np.ndarray, intrinsics: np.ndarray,
 def make_view(img: np.ndarray, depthmap: np.ndarray, intrinsics: np.ndarray,
               camera_pose: np.ndarray, resolution: Tuple[int, int],
               patch_size: int = 16, is_metric_scale: bool = False,
-              label: str = "", instance: str = "") -> Dict:
+              label: str = "", instance: str = "",
+              transform=None, rng: Optional[np.random.Generator] = None
+              ) -> Dict:
     """Run one raw view through the full pipeline at a bucket resolution.
 
     Args:
       img: [H, W, 3] uint8 RGB.
       depthmap: [H, W] float (negative = sky / undefined).
       resolution: (long_side, short_side) landscape bucket target.
+      transform: optional color augmentation `(uint8, rng) -> uint8`
+        applied after the geometric resize, before ImgNorm (the reference
+        trains with ColorJitter, README.md:242).
     Returns the view dict (landscape storage + 'portrait' flag).
     """
     h, w = img.shape[:2]
@@ -65,6 +71,8 @@ def make_view(img: np.ndarray, depthmap: np.ndarray, intrinsics: np.ndarray,
     target = {long_side / short_side: (long_side, short_side)}
     fn, to_rescaled, _ = get_resize_function(target, patch_size, h, w)
     img_r = fn(img)
+    if transform is not None:
+        img_r = transform(img_r, rng or np.random.default_rng())
     fn_n, _, _ = get_resize_function(target, patch_size, h, w, is_mask=True)
     depth_r = fn_n(depthmap)
     k_new = to_rescaled @ intrinsics
@@ -112,7 +120,7 @@ class MultiViewDataset:
     def __init__(self, num_views: int, resolutions, epoch_size: int,
                  min_memory_num_views: int = 2,
                  max_memory_num_views: Optional[int] = None,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, transform=None):
         if isinstance(resolutions[0], int):
             resolutions = [resolutions]
         self._resolutions = [tuple(r) for r in resolutions]
@@ -121,6 +129,8 @@ class MultiViewDataset:
         self.min_memory_num_views = min_memory_num_views
         self.max_memory_num_views = max_memory_num_views or num_views
         self.seed = seed
+        # 'ColorJitter' (reference README.md:242) / None=ImgNorm / callable
+        self.transform = resolve_transform(transform)
 
     def __len__(self):
         return self.epoch_size
@@ -258,13 +268,24 @@ class BatchedRandomSampler:
         mv = rng.integers(self.dataset.min_memory_num_views,
                           self.dataset.max_memory_num_views + 1,
                           size=n_batches)
-        ar = np.broadcast_to(ar[:, None], (n_batches, self.batch_size)
-                             ).ravel()[:self.total_size]
-        mv = np.broadcast_to(mv[:, None], (n_batches, self.batch_size)
-                             ).ravel()[:self.total_size]
-        idxs = np.stack([sample_idxs, ar, mv], axis=1)
         per = self.batch_size * (
             (self.total_size + self.world_size * self.batch_size - 1)
             // (self.world_size * self.batch_size))
-        idxs = idxs[self.rank * per:(self.rank + 1) * per]
+        if self.world_size > 1:
+            # The per-rank slices form ONE global batch per step under
+            # GSPMD, so the feature draws must be identical across ranks
+            # at the same step: rank r's k-th local batch uses the k-th
+            # draw (vs the reference, where ranks may diverge --
+            # acceptable for DDP, shape-illegal for a jitted global
+            # array; SURVEY §5.8).
+            steps = per // self.batch_size
+            ar, mv = ar[:steps], mv[:steps]
+            n_batches = steps
+        ar = np.broadcast_to(ar[:, None], (n_batches, self.batch_size)
+                             ).ravel()
+        mv = np.broadcast_to(mv[:, None], (n_batches, self.batch_size)
+                             ).ravel()
+        local = sample_idxs[self.rank * per:(self.rank + 1) * per]
+        m = len(local)
+        idxs = np.stack([local, ar[:m], mv[:m]], axis=1)
         yield from (tuple(int(v) for v in row) for row in idxs)

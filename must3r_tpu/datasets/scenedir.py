@@ -108,7 +108,8 @@ class SceneDirDataset(MultiViewDataset):
         return make_view(img, depth, cams["intrinsics"][vidx],
                          cams["poses"][vidx], resolution,
                          is_metric_scale=self.is_metric_scale,
-                         label=scene, instance=frame)
+                         label=scene, instance=frame,
+                         transform=self.transform, rng=rng)
 
 
 class Co3d(SceneDirDataset):

@@ -111,5 +111,6 @@ class SyntheticScenes(MultiViewDataset):
             views.append(make_view(img, depth, k, c2w, resolution,
                                    is_metric_scale=self.is_metric_scale,
                                    label=f"scene{scene_id}",
-                                   instance=f"v{i}"))
+                                   instance=f"v{i}",
+                                   transform=self.transform, rng=rng))
         return views

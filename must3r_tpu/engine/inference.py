@@ -122,7 +122,12 @@ class InferenceCore:
     def __init__(self, enc_params, dec_params, enc_cfg: EncoderConfig,
                  dec_cfg: DecoderConfig, dtype=jnp.bfloat16,
                  enc_dtype=None, impl: Optional[str] = None,
-                 cast_params: bool = True):
+                 cast_params: bool = True, mesh=None):
+        """mesh: optional Mesh with an 'sp' axis. When given, memories from
+        `new_memory` are sharded along their token axis over 'sp' and every
+        update/refine/render routes through the all-gather-free sharded
+        cross-attention (SURVEY §5.7) -- collections whose KV cache exceeds
+        one chip's HBM serve transparently; params are replicated."""
         if cast_params:
             # pre-cast weights to the compute dtype so the executables
             # don't re-convert 400M fp32 params on every dispatch.
@@ -150,6 +155,11 @@ class InferenceCore:
         # production default: bf16 encoder on TPU (fp32 = parity mode)
         self.enc_dtype = dtype if enc_dtype is None else enc_dtype
         self.impl = impl
+        self.mesh = mesh
+        if mesh is not None:
+            from must3r_tpu.parallel import replicate
+            self.enc_params = replicate(mesh, self.enc_params)
+            self.dec_params = replicate(mesh, self.dec_params)
 
         self._encode = jax.jit(
             lambda p, img, pos: encoder_forward(p, enc_cfg, img, pos,
@@ -158,15 +168,17 @@ class InferenceCore:
         self._update = jax.jit(
             lambda p, mem, x, pos: decoder_update(
                 p, dec_cfg, mem, x, pos, causal=False, dtype=dtype,
-                impl=impl),
+                impl=impl, mesh=mesh),
             donate_argnums=(1,))
         self._refine = jax.jit(
             lambda p, mem, x, pos, labels: decoder_refine(
-                p, dec_cfg, mem, x, pos, labels, dtype=dtype, impl=impl),
+                p, dec_cfg, mem, x, pos, labels, dtype=dtype, impl=impl,
+                mesh=mesh),
             donate_argnums=(1,))
         self._render = jax.jit(
             lambda p, mem, x, pos: decoder_render(
-                p, dec_cfg, mem, x, pos, dtype=dtype, impl=impl))
+                p, dec_cfg, mem, x, pos, dtype=dtype, impl=impl,
+                mesh=mesh))
         self._head = jax.jit(
             lambda p, toks, hw, pmask: decoder_head(p, dec_cfg, toks, hw,
                                                     pmask),
@@ -179,8 +191,16 @@ class InferenceCore:
         n = (img_hw[0] // self.dec_cfg.patch_size) * \
             (img_hw[1] // self.dec_cfg.patch_size)
         cap = round_capacity(max_images * n, block)
-        return init_memory(self.dec_cfg.depth, batch, self.dec_cfg.num_heads,
-                           self.dec_cfg.head_dim, cap, dtype=self.dtype)
+        if self.mesh is not None:
+            # capacity must split evenly over the sp shards
+            sp = self.mesh.shape.get("sp", 1)
+            cap = round_capacity(cap, block * sp)
+        mem = init_memory(self.dec_cfg.depth, batch, self.dec_cfg.num_heads,
+                          self.dec_cfg.head_dim, cap, dtype=self.dtype)
+        if self.mesh is not None:
+            from must3r_tpu.parallel import shard_memory
+            mem = shard_memory(self.mesh, mem)
+        return mem
 
     # -- steps ---------------------------------------------------------------
 

@@ -207,13 +207,22 @@ class TrainLoopConfig:
 class Trainer:
     def __init__(self, enc_cfg, dec_cfg, params, loader, cfg: TrainLoopConfig,
                  ts: TrainSettings, n_devices: int = 1,
-                 impl: Optional[str] = None):
+                 impl: Optional[str] = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'dp' axis. When given,
+        params/opt_state are replicated over it and each batch is
+        dp-sharded (multi-process: assembled from per-host local shards,
+        parallel/distributed.py) -- the DDP replacement, SURVEY §5.8.
+        Checkpoint/log writes are gated to process 0 either way."""
+        from must3r_tpu.parallel import is_main_process
+
         self.enc_cfg, self.dec_cfg = enc_cfg, dec_cfg
         self.loader = loader
         self.cfg = cfg
         self.ts = ts
         self.impl = impl
         self.params = params
+        self.mesh = mesh
+        self.is_main = is_main_process()
 
         steps_per_epoch = max(len(loader) // cfg.accum_iter, 1)
         lr = cfg.lr or effective_lr(cfg.blr, cfg.batch_size, n_devices,
@@ -227,13 +236,24 @@ class Trainer:
             opt = optax.MultiSteps(opt, every_k_schedule=cfg.accum_iter)
         self.optimizer = opt
         self.opt_state = opt.init(params)
+        if mesh is not None:
+            from must3r_tpu.parallel import replicate
+            self.params = replicate(mesh, self.params)
+            self.opt_state = replicate(mesh, self.opt_state)
         self.start_epoch = 0
         self._steps = {}
         self._opt_updates = 0
         os.makedirs(cfg.output_dir, exist_ok=True)
+        # rank-0-only writers (reference io.py save_on_master / rank-gated
+        # loggers, train.py:322-343); non-main processes keep in-memory
+        # metrics but write nothing
         self.logger = MetricLogger(
-            log_path=os.path.join(cfg.output_dir, "log.txt"))
-        self.tb = TensorBoardWriter(os.path.join(cfg.output_dir, "tb"))
+            log_path=os.path.join(cfg.output_dir, "log.txt")
+            if self.is_main else None)
+        self.tb = TensorBoardWriter(os.path.join(cfg.output_dir, "tb")
+                                    if self.is_main else None)
+        # seeded identically on every process: schedule draws (and thus
+        # compiled shapes) stay in lockstep across hosts
         self.rng = np.random.default_rng(cfg.seed)
         self.key = jax.random.PRNGKey(cfg.seed)
 
@@ -254,6 +274,8 @@ class Trainer:
     # -- checkpointing ---------------------------------------------------------
 
     def save(self, epoch: int, tag: str):
+        if not self.is_main:   # rank-0-only write (reference io.py)
+            return
         path = os.path.join(self.cfg.output_dir, f"checkpoint-{tag}")
         save_checkpoint(path, self.params, self.enc_cfg, self.dec_cfg,
                         opt_state=self.opt_state if tag != "final" else None,
@@ -312,9 +334,13 @@ class Trainer:
                        if hasattr(v, "ndim") and v.ndim >= 2
                        and v.shape[1] == nimgs else v)
                    for k, v in batch.items() if k in needed}
-            cut["render_ids"] = jnp.asarray(sched.render_ids, jnp.int32)
-            cut = {k: jnp.asarray(v) if not isinstance(v, jnp.ndarray)
-                   else v for k, v in cut.items()}
+            cut["render_ids"] = np.asarray(sched.render_ids, np.int32)
+            if self.mesh is not None:
+                from must3r_tpu.parallel import global_batch
+                cut = global_batch(self.mesh, cut)
+            else:
+                cut = {k: jnp.asarray(v) if not isinstance(v, jnp.ndarray)
+                       else v for k, v in cut.items()}
 
             self.key, sub = jax.random.split(self.key)
             step = self._get_step(sched)
@@ -329,7 +355,7 @@ class Trainer:
             lr_now = float(self.lr_fn(self._opt_updates // cfg.accum_iter))
             self.logger.update(loss=loss_val, lr=lr_now,
                                **{k: float(v) for k, v in details.items()})
-            if (it + 1) % cfg.print_freq == 0:
+            if (it + 1) % cfg.print_freq == 0 and self.is_main:
                 # epoch_1000x axis calibrates across batch sizes
                 # (reference train.py:498-505)
                 step1000 = int((epoch + it / max(len(self.loader), 1))

@@ -179,9 +179,10 @@ def make_loss_fn(enc_cfg, dec_cfg, ts: TrainSettings,
 
 def cosine_schedule(base_lr: float, warmup_steps: int, total_steps: int,
                     min_lr: float = 0.0):
+    warmup = max(warmup_steps, 1)
     return optax.warmup_cosine_decay_schedule(
-        init_value=0.0, peak_value=base_lr, warmup_steps=max(warmup_steps, 1),
-        decay_steps=max(total_steps, warmup_steps + 1), end_value=min_lr)
+        init_value=0.0, peak_value=base_lr, warmup_steps=warmup,
+        decay_steps=max(total_steps, warmup + 1), end_value=min_lr)
 
 
 def _decay_mask(params):

@@ -142,8 +142,8 @@ def _update_masks(cfg, n_imgs, g: int, causal: bool):
 def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
                    causal: Optional[bool] = None, extra_mask=None,
                    dtype=jnp.bfloat16, unroll_layers: bool = False,
-                   remat: bool = False,
-                   impl: Optional[str] = None) -> Tuple[MemoryState, jax.Array]:
+                   remat: bool = False, impl: Optional[str] = None,
+                   mesh=None) -> Tuple[MemoryState, jax.Array]:
     """One memory-update step over G images.
 
     Args:
@@ -153,6 +153,8 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
       causal: label-causal training semantics (CausalMUSt3R); defaults to
         cfg.causal.
       extra_mask: optional bool [B, G, S] dropout mask (True = blocked).
+      mesh: optional Mesh sharding the memory token axis over 'sp'
+        (sharded serving, SURVEY §5.7).
 
     Returns:
       (new MemoryState, final-layer tokens [B, G, N, D] pre-head).
@@ -192,7 +194,7 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
                           q_upper=q_upper, kv_len=kv_len,
                           extra_mask=extra_mask, layer=li,
                           num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
-                          impl=impl)
+                          impl=impl, mesh=mesh)
         return (x, kv_buf), raw
 
     if remat:
@@ -243,7 +245,8 @@ def _feedback_offset(params, cfg: DecoderConfig, raw_last):
 
 def decoder_refine(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
                    old_labels, dtype=jnp.bfloat16,
-                   impl: Optional[str] = None) -> Tuple[MemoryState, jax.Array]:
+                   impl: Optional[str] = None,
+                   mesh=None) -> Tuple[MemoryState, jax.Array]:
     """Refinement pass: re-run the update forward for already-seen images and
     overwrite their original memory tokens in place (reference
     `inference_multi_ar` refinement, engine/inference.py:425-443).
@@ -262,7 +265,7 @@ def decoder_refine(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
     # everything below reads only the POST-update state, so under jit with
     # a donated memory the whole refine is in-place (no buffer copy)
     mem2, toks = decoder_update(params, cfg, mem, x_enc, pos, causal=False,
-                                dtype=dtype, impl=impl)
+                                dtype=dtype, impl=impl, mesh=mesh)
     new_kv = jax.lax.dynamic_slice(
         mem2.kv, (0, 0, 0, start, 0),
         (cfg.depth, b, cfg.num_heads, g * n, 2 * cfg.head_dim))
@@ -300,7 +303,7 @@ def decoder_refine(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
 
 def decoder_render(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
                    extra_mask=None, dtype=jnp.bfloat16,
-                   impl: Optional[str] = None) -> jax.Array:
+                   impl: Optional[str] = None, mesh=None) -> jax.Array:
     """Pure prediction against a frozen memory (reference render=True).
 
     Returns final-layer tokens [B, G, N, D] (pre-head).
@@ -328,14 +331,14 @@ def decoder_render(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
             xg = x.reshape(b, 1, g * n, cfg.embed_dim)
             ca = cross_attn(blk, xg, mem.kv, mem.labels, kv_len=mem.length,
                             layer=li, num_heads=cfg.num_heads,
-                            ln_eps=cfg.ln_eps, impl=impl)
+                            ln_eps=cfg.ln_eps, impl=impl, mesh=mesh)
             x = x + ca.reshape(b, g, n, cfg.embed_dim)
             x = x + mlp(blk["mlp"], layer_norm(blk["norm3"], x, cfg.ln_eps))
         else:
             x = decoder_block(blk, x, mem.kv, rope, mem.labels,
                               kv_len=mem.length, extra_mask=extra_mask,
                               layer=li, num_heads=cfg.num_heads,
-                              ln_eps=cfg.ln_eps, impl=impl)
+                              ln_eps=cfg.ln_eps, impl=impl, mesh=mesh)
         return x, None
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], jnp.arange(cfg.depth)))
@@ -365,7 +368,11 @@ def decoder_head(params, cfg: DecoderConfig, tokens, img_hw: Tuple[int, int],
     h, w = img_hw
     t = layer_norm(params["norm_dec"], tokens.astype(jnp.float32),
                    cfg.ln_eps)
-    xf = linear(params["head_proj"], t).reshape(b * g, n, cfg.output_dim)
+    # true-fp32 matmul: the head is the one matmul whose precision reaches
+    # the pointmaps directly, and it is tiny next to the towers
+    xf = linear(params["head_proj"], t,
+                precision=jax.lax.Precision.HIGHEST
+                ).reshape(b * g, n, cfg.output_dim)
     land = unpatchify(xf, cfg.patch_size, (h, w))
     if portrait_mask is not None and h != w:
         port = unpatchify(xf, cfg.patch_size, (w, h)).transpose(0, 2, 1, 3)

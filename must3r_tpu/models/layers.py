@@ -35,9 +35,15 @@ from must3r_tpu.ops.rope import apply_rope2d
 # Primitive apply fns
 # ---------------------------------------------------------------------------
 
-def linear(p, x):
-    """x @ w + b with fp32 MXU accumulation; w: [din, dout]."""
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+def linear(p, x, precision=None):
+    """x @ w + b with fp32 MXU accumulation; w: [din, dout].
+
+    precision: pass jax.lax.Precision.HIGHEST inside fp32 islands — at
+    DEFAULT precision XLA computes even fp32 matmuls with bf16 passes
+    (~1e-2 relative), which is fine for the bf16 production towers but not
+    for the head/postprocess islands the reference forces to fp32."""
+    y = jnp.dot(x, p["w"].astype(x.dtype),
+                preferred_element_type=jnp.float32, precision=precision)
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -127,7 +133,8 @@ def prepare_kv(p, y, num_heads: int = 12, ln_eps: float = 1e-6):
 
 def cross_attn(p, x, kv_packed, labels, q_self=None, q_upper=None,
                kv_len=None, extra_mask=None, layer=None, num_heads: int = 12,
-               ln_eps: float = 1e-6, impl: Optional[str] = None):
+               ln_eps: float = 1e-6, impl: Optional[str] = None, mesh=None,
+               sp_axis: str = "sp"):
     """Memory cross-attention read: q = projq(norm2(x)); flash CA against the
     packed KV cache; out projection.
 
@@ -137,14 +144,31 @@ def cross_attn(p, x, kv_packed, labels, q_self=None, q_upper=None,
         [L, B, H, S, 2*Dh] cache with ``layer`` selecting the row in-kernel.
       labels, q_self, q_upper, kv_len, extra_mask: see
         :func:`must3r_tpu.ops.attention.memory_cross_attention`.
+      mesh: optional Mesh whose ``sp_axis`` shards the memory token axis;
+        routes through the all-gather-free sharded CA (SURVEY §5.7) --
+        collections larger than one chip's HBM serve transparently.
     Returns: [B, G, N, D].
     """
     b, g, n, d = x.shape
     xq = layer_norm(p["norm2"], x, ln_eps)
     q = split_heads(linear(p["projq"], xq), num_heads)   # [B, G, N, H, Dh]
-    o = memory_cross_attention(q, kv_packed, labels, q_self=q_self,
-                               q_upper=q_upper, kv_len=kv_len,
-                               extra_mask=extra_mask, layer=layer, impl=impl)
+    if mesh is not None:
+        from must3r_tpu.parallel.sharded_attention import (
+            sharded_memory_cross_attention,
+        )
+        assert extra_mask is None, "dropout masks: unsharded path only"
+        kvl = kv_packed
+        if kv_packed.ndim == 5:
+            kvl = jax.lax.dynamic_index_in_dim(kv_packed, layer, 0,
+                                               keepdims=False)
+        o = sharded_memory_cross_attention(mesh, q, kvl, labels,
+                                           q_self=q_self, q_upper=q_upper,
+                                           axis=sp_axis)
+    else:
+        o = memory_cross_attention(q, kv_packed, labels, q_self=q_self,
+                                   q_upper=q_upper, kv_len=kv_len,
+                                   extra_mask=extra_mask, layer=layer,
+                                   impl=impl)
     return linear(p["proj_ca"], merge_heads(o))
 
 
@@ -164,10 +188,11 @@ def encoder_block(p, x, rope, num_heads: int, ln_eps: float = 1e-6,
 def decoder_block(p, x, kv_packed, rope, labels, q_self=None, q_upper=None,
                   kv_len=None, extra_mask=None, layer=None,
                   num_heads: int = 12, ln_eps: float = 1e-6,
-                  impl: Optional[str] = None):
+                  impl: Optional[str] = None, mesh=None):
     """Reference `CachedDecoderBlock`: SA + memory-CA + MLP, pre-norm.
 
-    x: [B, G, N, D]. SA is per-image (B*G batched); CA reads the memory.
+    x: [B, G, N, D]. SA is per-image (B*G batched); CA reads the memory
+    (optionally sharded over mesh's 'sp' axis, see cross_attn).
     """
     b, g, n, d = x.shape
     xf = x.reshape(b * g, n, d)
@@ -182,7 +207,7 @@ def decoder_block(p, x, kv_packed, rope, labels, q_self=None, q_upper=None,
     x = x + cross_attn(p, x, kv_packed, labels, q_self=q_self,
                        q_upper=q_upper, kv_len=kv_len, extra_mask=extra_mask,
                        layer=layer, num_heads=num_heads, ln_eps=ln_eps,
-                       impl=impl)
+                       impl=impl, mesh=mesh)
     x = x + mlp(p["mlp"], layer_norm(p["norm3"], x, ln_eps))
     return x
 

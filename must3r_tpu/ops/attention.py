@@ -52,9 +52,18 @@ INT32_MAX = jnp.iinfo(jnp.int32).max
 _NEG_INF = -1e30
 
 
-def _default_impl() -> str:
+def _default_impl(dh: Optional[int] = None) -> str:
+    """Pick the attention backend: Pallas kernels on TPU, XLA chunked
+    flash elsewhere. Head dims that violate the kernels' lane tiling
+    (packed kv rows must fill 128 lanes -> dh % 64 == 0; flagship dh=64)
+    fall back to the XLA path instead of failing Mosaic compile — this is
+    what small test/debug models hit on real hardware."""
     platform = jax.default_backend()
-    return "pallas" if platform == "tpu" else "chunked"
+    if platform != "tpu":
+        return "chunked"
+    if dh is not None and dh % 64 != 0:
+        return "chunked"
+    return "pallas"
 
 
 # ---------------------------------------------------------------------------
@@ -93,7 +102,7 @@ def self_attention(q, k, v, impl: Optional[str] = None):
     backward rematerializes through the XLA online-softmax path (flash
     recompute -- no scores matrix is ever stored).
     """
-    impl = impl or _default_impl()
+    impl = impl or _default_impl(q.shape[-1])
     if impl == "pallas":
         return _sa_hybrid(q, k, v)
     if impl == "chunked":
@@ -277,7 +286,7 @@ def memory_cross_attention(q, kv, labels, q_self=None, q_upper=None,
         q_upper = jnp.full((b, g), INT32_MAX, jnp.int32)
     if kv_len is None:
         kv_len = jnp.int32(s_cap)
-    impl = impl or _default_impl()
+    impl = impl or _default_impl(dh)
     if impl == "pallas" and extra_mask is None:
         # differentiable: pallas forward, XLA-recompute backward
         return _ca_hybrid(q, kv5, labels, q_self, q_upper, kv_len, layer)

@@ -66,3 +66,20 @@ def permanent_dropout_masks(key, labels, n_imgs_base, batch: int,
     extra_mask = first[:, None, :] < jnp.arange(g)[None, :, None]  # [B,G,S]
     dead = first < g
     return extra_mask, dead
+
+
+def drop_path(key, x, rate: float, scale_by_keep: bool = True):
+    """Stochastic depth on a residual branch (croco `DropPath`; imported by
+    reference must3r/model/blocks/layers.py:7 — every published recipe
+    trains with rate 0.0, so the identity fast path is the hot one).
+
+    Drops the entire branch per leading-batch element; survivors are
+    rescaled by 1/keep so the expectation is unchanged.
+    """
+    if rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(key, keep, shape)
+    branch = x / keep if scale_by_keep else x
+    return jnp.where(mask, branch, jnp.zeros_like(x))

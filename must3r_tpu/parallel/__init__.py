@@ -53,6 +53,14 @@ def constrain(x, mesh: Mesh, *spec):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
 
+from must3r_tpu.parallel.distributed import (  # noqa: E402,F401
+    global_batch,
+    init_distributed,
+    is_main_process,
+    local_batch_size,
+    process_count,
+    process_index,
+)
 from must3r_tpu.parallel.sharded_attention import (  # noqa: E402,F401
     shard_memory,
     sharded_memory_cross_attention,

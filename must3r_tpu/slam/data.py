@@ -93,14 +93,66 @@ class VideoFile(BaseLoader):
         self.cap.release()
 
 
+class TumSequence(BaseLoader):
+    """TUM RGB-D sequence directory: frames from `rgb.txt`
+    (``timestamp path`` lines), frame ids = real float timestamps so
+    predicted trajectories associate directly with `groundtruth.txt` for
+    the ATE/RPE eval (BASELINE.md SLAM protocol; reference runs
+    `slam.py` on these sequences, assets/evals.md:196)."""
+
+    def __init__(self, root: str, subsamp: int = 1):
+        super().__init__(subsamp)
+        from must3r_tpu.tools.image import load_image
+
+        self.root = root
+        self._load = load_image
+        self.entries = []           # [(timestamp float, relpath)]
+        with open(os.path.join(root, "rgb.txt")) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                ts, rel = line.split()[:2]
+                self.entries.append((float(ts), rel))
+        self._cursor = 0
+        self._last_ts = -1.0
+
+    def __len__(self):
+        return len(self.entries)
+
+    @property
+    def timestamps(self):
+        return [ts for ts, _ in self.entries]
+
+    def read(self):
+        if self._cursor >= len(self.entries):
+            return None
+        ts, rel = self.entries[self._cursor]
+        self._cursor += 1
+        self._last_ts = ts
+        return self._load(os.path.join(self.root, rel))
+
+    def next_frame(self):
+        frame = None
+        for _ in range(self.subsamp):
+            frame = self.read()
+            if frame is None:
+                return None, self._last_ts
+        return frame, self._last_ts
+
+
 def make_loader(source, subsamp: int = 1) -> BaseLoader:
-    """'cam:N' -> webcam; video extension -> VideoFile; else folder/list."""
+    """'cam:N' -> webcam; video extension -> VideoFile; TUM sequence dir
+    (contains rgb.txt) -> TumSequence; else folder/list."""
     if isinstance(source, str):
         if source.startswith("cam:"):
             return VideoFile(source, subsamp)
         ext = os.path.splitext(source)[1].lower()
         if ext in {".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v"}:
             return VideoFile(source, subsamp)
+        if os.path.isdir(source) and \
+                os.path.isfile(os.path.join(source, "rgb.txt")):
+            return TumSequence(source, subsamp)
         return ImageCollection(source, subsamp)
     return ImageCollection(source, subsamp)
 

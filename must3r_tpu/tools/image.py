@@ -141,6 +141,101 @@ def denormalize_image(img: np.ndarray) -> np.ndarray:
                    ).astype(np.uint8)
 
 
+def _rgb_to_hsv(rgb: np.ndarray) -> np.ndarray:
+    """float [..., 3] in [0, 1] -> HSV with h in [0, 1)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = rgb.max(-1)
+    minc = rgb.min(-1)
+    v = maxc
+    rng = maxc - minc
+    s = np.where(maxc > 0, rng / np.maximum(maxc, 1e-12), 0.0)
+    safe = np.maximum(rng, 1e-12)
+    rc, gc, bc = (maxc - r) / safe, (maxc - g) / safe, (maxc - b) / safe
+    h = np.where(maxc == r, bc - gc,
+                 np.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = np.where(rng > 0, (h / 6.0) % 1.0, 0.0)
+    return np.stack([h, s, v], -1)
+
+
+def _hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int32) % 6
+    choices = np.stack([
+        np.stack([v, t, p], -1), np.stack([q, v, p], -1),
+        np.stack([p, v, t], -1), np.stack([p, q, v], -1),
+        np.stack([t, p, v], -1), np.stack([v, p, q], -1)])
+    return np.take_along_axis(choices, i[None, ..., None],
+                              axis=0)[0]
+
+
+def color_jitter(img: np.ndarray, rng: np.random.Generator,
+                 brightness: float = 0.5, contrast: float = 0.5,
+                 saturation: float = 0.5, hue: float = 0.1) -> np.ndarray:
+    """torchvision `ColorJitter(0.5, 0.5, 0.5, 0.1)` equivalent, numpy.
+
+    The reference training transform is `ColorJitter + ImgNorm`
+    (reference must3r/datasets/__init__.py:3, recipe README.md:242).
+    Factors are drawn uniformly (brightness/contrast/saturation from
+    [max(0, 1-x), 1+x], hue shift from [-hue, hue]) and applied in a
+    random order, matching torchvision semantics. uint8 in, uint8 out.
+    """
+    x = img.astype(np.float32) / 255.0
+
+    def adj_brightness(x, f):
+        return x * f
+
+    def adj_contrast(x, f):
+        gray = (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])
+        mean = gray.mean()
+        return f * x + (1.0 - f) * mean
+
+    def adj_saturation(x, f):
+        gray = (0.299 * x[..., 0] + 0.587 * x[..., 1]
+                + 0.114 * x[..., 2])[..., None]
+        return f * x + (1.0 - f) * gray
+
+    def adj_hue(x, d):
+        hsv = _rgb_to_hsv(np.clip(x, 0.0, 1.0))
+        hsv[..., 0] = (hsv[..., 0] + d) % 1.0
+        return _hsv_to_rgb(hsv)
+
+    ops = []
+    if brightness > 0:
+        ops.append((adj_brightness,
+                    rng.uniform(max(0.0, 1 - brightness), 1 + brightness)))
+    if contrast > 0:
+        ops.append((adj_contrast,
+                    rng.uniform(max(0.0, 1 - contrast), 1 + contrast)))
+    if saturation > 0:
+        ops.append((adj_saturation,
+                    rng.uniform(max(0.0, 1 - saturation), 1 + saturation)))
+    if hue > 0:
+        ops.append((adj_hue, rng.uniform(-hue, hue)))
+    for k in rng.permutation(len(ops)):
+        fn, f = ops[k]
+        x = np.clip(fn(x, f), 0.0, 1.0)
+    return (x * 255.0 + 0.5).astype(np.uint8)
+
+
+def resolve_transform(name):
+    """Map a reference transform spec to a callable
+    `(uint8 img, np.random.Generator) -> uint8 img` applied before
+    ImgNorm; None = ImgNorm only (the reference default)."""
+    if name is None or callable(name):
+        return name
+    key = str(name).lower().replace("+imgnorm", "")
+    if key in ("", "imgnorm"):
+        return None
+    if key == "colorjitter":
+        return color_jitter
+    raise ValueError(f"unknown transform {name!r}")
+
+
 def to_landscape(img: np.ndarray) -> Tuple[np.ndarray, bool]:
     """Store portrait images transposed (the network always sees W >= H;
     the head transposes predictions back)."""

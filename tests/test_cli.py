@@ -48,6 +48,24 @@ def test_train_cli_end_to_end(tmp_path):
     assert len(log) == 3
 
 
+def test_train_cli_dp_mesh(tmp_path):
+    """--dp_mesh trains over a dp mesh spanning all (virtual CPU) devices
+    through the Trainer's global_batch path (SURVEY §5.8)."""
+    out = str(tmp_path / "run_mesh")
+    ds8 = DATASET.replace("epoch_size=4", "epoch_size=8")
+    args = ["--preset", "tiny", "--dataset", ds8,
+            "--output_dir", out, "--epochs", "1", "--batch_size", "8",
+            "--memory_num_views", "4", "--causal",
+            "--memory_batch_views", "2", "--amp", "float32",
+            "--num_workers", "0", "--print_freq", "1", "--dp_mesh",
+            "--warmup_epochs", "0.5"]
+    train_main(args)
+    assert os.path.isdir(os.path.join(out, "checkpoint-final"))
+    rec = json.loads(open(os.path.join(
+        out, "log.txt")).read().strip().splitlines()[-1])
+    assert np.isfinite(rec["loss"])
+
+
 def test_eval_cli(tmp_path):
     out = str(tmp_path / "report.json")
     eval_main(["--preset", "tiny", "--dataset", DATASET,

@@ -125,3 +125,27 @@ def test_loader_collates_train_batch():
     assert batch["is_metric_scale"].shape == (2,)
     assert isinstance(batch["memory_num_views"], int)
     assert np.isfinite(batch["pts3d"]).all()
+
+
+def test_colorjitter_transform_plumbs_through():
+    """transform='ColorJitter' (reference README.md:242 recipe) changes the
+    normalized pixels but nothing geometric."""
+    from must3r_tpu.datasets import SyntheticScenes
+    base = SyntheticScenes(num_views=2, resolutions=((64, 48),),
+                           epoch_size=2, seed=3)
+    jit = SyntheticScenes(num_views=2, resolutions=((64, 48),),
+                          epoch_size=2, seed=3, transform="ColorJitter")
+    v0 = base[(0, 0, 2)][0]
+    v1 = jit[(0, 0, 2)][0]
+    assert v0["img"].shape == v1["img"].shape
+    assert not np.allclose(v0["img"], v1["img"])
+    np.testing.assert_allclose(v0["pts3d"], v1["pts3d"])
+    np.testing.assert_array_equal(v0["valid_mask"], v1["valid_mask"])
+
+
+def test_build_dataset_accepts_transform_name():
+    from must3r_tpu.cli.train_cli import build_dataset
+    ds = build_dataset("SyntheticScenes(num_views=2, resolutions=(64, 48), "
+                       "epoch_size=2, transform=ColorJitter)")
+    from must3r_tpu.tools.image import color_jitter
+    assert ds.transform is color_jitter

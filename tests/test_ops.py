@@ -310,3 +310,41 @@ def test_memory_ca_hybrid_grads_on_tpu_path(rng):
     dq, dkv = jax.grad(f, argnums=(0, 1))(q, kv)
     assert np.isfinite(np.asarray(dq)).all()
     assert float(jnp.abs(dkv).sum()) > 0
+
+
+def test_drop_path():
+    from must3r_tpu.ops.dropout import drop_path
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((512, 3, 4))
+    assert drop_path(key, x, 0.0) is x          # identity fast path
+    y = np.asarray(drop_path(key, x, 0.25))
+    # whole branches dropped per batch element, survivors rescaled
+    per_elem = y.reshape(512, -1)
+    dropped = (per_elem == 0).all(axis=1)
+    kept = (np.abs(per_elem - 1 / 0.75) < 1e-6).all(axis=1)
+    assert (dropped | kept).all()
+    assert 0.1 < dropped.mean() < 0.4
+
+
+def test_color_jitter_properties():
+    from must3r_tpu.tools.image import color_jitter
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    out = color_jitter(img, np.random.default_rng(1))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert not np.array_equal(out, img)          # something changed
+    # deterministic given the rng state
+    out2 = color_jitter(img, np.random.default_rng(1))
+    np.testing.assert_array_equal(out, out2)
+    # zero-strength jitter is the identity
+    ident = color_jitter(img, np.random.default_rng(2), brightness=0,
+                         contrast=0, saturation=0, hue=0)
+    np.testing.assert_array_equal(ident, img)
+
+
+def test_color_jitter_hue_roundtrip():
+    from must3r_tpu.tools.image import _hsv_to_rgb, _rgb_to_hsv
+    rng = np.random.default_rng(3)
+    rgb = rng.random((64, 3)).astype(np.float32)
+    back = _hsv_to_rgb(_rgb_to_hsv(rgb))
+    np.testing.assert_allclose(back, rgb, atol=1e-5)

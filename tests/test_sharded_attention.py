@@ -69,3 +69,41 @@ def test_shard_memory_placement(mesh):
     assert shard_shapes == {(2, 1, 2, 8, 16)}
     lab_shapes = {sh.data.shape for sh in smem.labels.addressable_shards}
     assert lab_shapes == {(1, 8)}
+
+
+def test_sharded_inference_core_offline_matches_unsharded(rng):
+    """End-to-end serving with a memory sharded over 'sp' (SURVEY §5.7):
+    offline reconstruction through InferenceCore(mesh=...) must match the
+    unsharded pipeline. The ('dp','sp') mesh is the production layout."""
+    from must3r_tpu.config import DecoderConfig, EncoderConfig
+    from must3r_tpu.engine import InferenceCore
+    from must3r_tpu.engine.inference import offline_reconstruction
+    from must3r_tpu.models import init_decoder, init_encoder
+    from must3r_tpu.parallel import make_mesh
+
+    mesh2 = make_mesh(8, mp=4, axis_names=("dp", "sp"))
+    hw = (32, 32)
+    enc_cfg = EncoderConfig(img_size=hw, patch_size=16, embed_dim=64,
+                            depth=2, num_heads=2)
+    dec_cfg = DecoderConfig(img_size=hw, enc_embed_dim=64, patch_size=16,
+                            embed_dim=32, output_dim=16 * 16 * 7, depth=2,
+                            num_heads=2)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    enc_p, dec_p = init_encoder(k1, enc_cfg), init_decoder(k2, dec_cfg)
+    imgs = jnp.asarray(rng.standard_normal((4, *hw, 3)), jnp.float32)
+
+    base = InferenceCore(enc_p, dec_p, enc_cfg, dec_cfg, dtype=jnp.float32,
+                         impl="chunked")
+    want = offline_reconstruction(base, imgs, img_hw=hw, compute_cam=True,
+                                  num_refinement_iterations=1)
+
+    with mesh2:
+        core = InferenceCore(enc_p, dec_p, enc_cfg, dec_cfg,
+                             dtype=jnp.float32, impl="chunked", mesh=mesh2)
+        got = offline_reconstruction(core, imgs, img_hw=hw,
+                                     compute_cam=True,
+                                     num_refinement_iterations=1)
+    for key in ("pts3d", "pts3d_local", "conf"):
+        np.testing.assert_allclose(np.asarray(got[key]),
+                                   np.asarray(want[key]), rtol=2e-4,
+                                   atol=2e-4)
