@@ -20,6 +20,9 @@ def get_args_parser():
     p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--pose_eval", action="store_true", default=False)
     p.add_argument("--depth_eval", action="store_true", default=False)
+    p.add_argument("--recon_eval", action="store_true", default=False,
+                   help="Acc/Comp/NC cloud metrics (assets/evals.md:44-46)")
+    p.add_argument("--conf_thr", type=float, default=1.5)
     p.add_argument("--output", default=None, help="json report path")
     return p
 
@@ -41,6 +44,11 @@ def main(argv=None):
                       max_batches=args.max_batches,
                       pose_eval=args.pose_eval,
                       depth_eval=args.depth_eval)
+    if args.recon_eval:
+        from must3r_tpu.engine.evaluate import evaluate_reconstruction
+        report["reconstruction"] = evaluate_reconstruction(
+            core, loader, num_mem_views=max(args.num_views),
+            max_batches=args.max_batches, conf_thr=args.conf_thr)
     if args.output:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
         with open(args.output, "w") as f:

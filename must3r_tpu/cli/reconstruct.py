@@ -7,6 +7,9 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
+import time
+
+import numpy as np
 
 
 def get_args_parser():
@@ -36,6 +39,13 @@ def get_args_parser():
     p.add_argument("--conf_thrs", type=float, nargs="+",
                    default=[1.5, 3.0, 5.0])
     p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--live", action="store_true", default=False,
+                   help="serve a live viewer that streams the growing "
+                        "pointcloud during reconstruction (viser role, "
+                        "reference demo/viser.py:211-266)")
+    p.add_argument("--live_port", type=int, default=8642)
+    p.add_argument("--live_hold", type=float, default=0.0,
+                   help="keep the viewer up N seconds after finishing")
     return p
 
 
@@ -85,12 +95,26 @@ def main(argv=None):
             min_conf_keyframe=args.min_conf_keyframe,
             encode_bs=args.max_bs, verbose=True)
     else:
+        viewer = None
+        on_update = None
+        if args.live:
+            from must3r_tpu.demo.live import LiveViewer
+
+            viewer = LiveViewer(port=args.live_port)
+            imgs_v = np.stack([v["img"] for v in views])
+            on_update = viewer.update_callback(imgs=imgs_v)
         scene = must3r_inference(
             core, views, num_mem_images=args.num_mem_images,
             init_num_images=args.init_num_images,
             is_sequence=(mode == "linseq"), retrieval_head=retrieval_head,
             num_refinements_iterations=args.num_refinements_iterations,
-            encode_bs=args.max_bs, render_bs=args.max_bs, verbose=True)
+            encode_bs=args.max_bs, render_bs=args.max_bs, verbose=True,
+            on_update=on_update)
+        if viewer is not None:
+            if args.live_hold > 0:
+                print(f"viewer at {viewer.url} for {args.live_hold:g}s")
+                time.sleep(args.live_hold)
+            viewer.close()
 
     with open(os.path.join(args.output_dir, "scene.pkl"), "wb") as f:
         pickle.dump(scene, f)

@@ -29,6 +29,10 @@ def get_args_parser():
     p.add_argument("--filtering_mode", default=None,
                    help="e.g. laplacian or laplacian-conf")
     p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--live", action="store_true", default=False,
+                   help="serve a live map viewer, updated per keyframe "
+                        "(the open3d GUI/viser role)")
+    p.add_argument("--live_port", type=int, default=8643)
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--gt_poses", default=None,
                    help="GT trajectory for ATE/RPE: .npz (poses/timestamps)"
@@ -88,6 +92,12 @@ def main(argv=None):
                      max_keyframes=args.max_keyframes,
                      rerender=args.rerender)
     dtype = jnp.bfloat16 if args.amp == "bf16" else jnp.float32
+    viewer = None
+    if args.live:
+        from must3r_tpu.demo.live import LiveViewer
+
+        cfg.keep_memory = True          # get_map needs keyframe pointmaps
+        viewer = LiveViewer(port=args.live_port)
     slam = Must3rSLAM(params, enc_cfg, dec_cfg, cfg, dtype=dtype)
     if args.load_memory:
         slam.load_memory(args.load_memory)
@@ -98,6 +108,13 @@ def main(argv=None):
     for frame, fid, cam in loader:
         out = slam(frame, fid, cam, return_maps=False)
         n += 1
+        if viewer is not None and out.get("iskeyframe"):
+            import numpy as np
+
+            pts, cols = slam.get_map(args.min_conf_keyframe)
+            cams = np.stack(slam.all_poses)[:, :3, 3] \
+                if slam.all_poses else None
+            viewer.set_views(pts, cols, cams)
         if n % 60 == 0:
             fps = n / (time.time() - t0)
             print(f"frame {fid}: fps={fps:.2f} keyframes="

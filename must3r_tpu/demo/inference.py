@@ -81,7 +81,7 @@ def must3r_inference(core: InferenceCore, views: Sequence[dict],
                      codebook: Optional[np.ndarray] = None,
                      num_refinements_iterations: int = 0,
                      encode_bs: int = 8, render_bs: int = 8,
-                     verbose: bool = False) -> SceneState:
+                     verbose: bool = False, on_update=None) -> SceneState:
     """Offline reconstruction of a (single-bucket) image collection.
 
     Args:
@@ -117,13 +117,21 @@ def must3r_inference(core: InferenceCore, views: Sequence[dict],
     # predictions; here every view is rendered against the final memory
     # (strictly more consistent, and the render phase is batched anyway)
     to_render = list(range(v))
+    if on_update is not None:
+        # offline_reconstruction reports ids in processing (keyframes-first)
+        # order; surface original input-view ids to the caller's hook
+        user_hook = on_update
+
+        def on_update(ids, partial):     # noqa: F811
+            user_hook([order[i] for i in ids], partial)
+
     out = offline_reconstruction(
         core, imgs_o, img_hw=img_hw, portrait=portrait_o,
         mem_views=list(range(num_mem_images)),
         init_num_images=init_num_images,
         num_refinement_iterations=num_refinements_iterations,
         to_render=to_render, render_bs=render_bs, encode_bs=encode_bs,
-        compute_cam=True)
+        compute_cam=True, on_update=on_update)
 
     # -- unpermute back to input order ---------------------------------------
     inv = np.argsort(np.asarray(order))

@@ -194,3 +194,124 @@ def evaluate(core: InferenceCore, loader,
         if verbose:
             print(f"views={k}: {report[f'views{k}']}")
     return report
+
+
+# ---------------------------------------------------------------------------
+# 3D-reconstruction protocol: Accuracy / Completion / Normal Consistency
+# (BASELINE.md first table; reference assets/evals.md:44-46 — the
+# 7scenes/DTU/NRGBD numbers follow this cloud-to-cloud definition)
+# ---------------------------------------------------------------------------
+
+def pointmap_normals(pts: np.ndarray) -> np.ndarray:
+    """Per-pixel surface normals of a structured pointmap [H, W, 3] via
+    central-difference cross products, unit-normalized ([H, W, 3])."""
+    p = np.asarray(pts, np.float64)
+    du = np.gradient(p, axis=1)
+    dv = np.gradient(p, axis=0)
+    n = np.cross(du, dv)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    return (n / np.clip(norm, 1e-12, None)).astype(np.float32)
+
+
+def umeyama_alignment(src: np.ndarray, dst: np.ndarray,
+                      with_scale: bool = True) -> np.ndarray:
+    """Sim(3) aligning src -> dst points [N, 3]; returns 4x4."""
+    from must3r_tpu.slam.metrics import umeyama
+    s, r, t = umeyama(src, dst, with_scale=with_scale)
+    out = np.eye(4, dtype=np.float64)
+    out[:3, :3] = s * r
+    out[:3, 3] = t
+    return out
+
+
+def reconstruction_metrics(pred_pts: np.ndarray, gt_pts: np.ndarray,
+                           pred_normals: Optional[np.ndarray] = None,
+                           gt_normals: Optional[np.ndarray] = None,
+                           max_points: int = 200_000,
+                           seed: int = 0) -> Dict[str, float]:
+    """Cloud-to-cloud reconstruction quality (assets/evals.md:44-46):
+
+      Accuracy   = mean/median over pred points of distance to nearest GT
+      Completion = mean/median over GT points of distance to nearest pred
+      NC1 = mean |n_pred . n_gt(nn)| over pred points (and NC2 vice versa;
+            NC = (NC1 + NC2) / 2) — computed when normals are given.
+
+    Inputs are flat [N, 3] clouds (pre-aligned; see evaluate_reconstruction
+    for the per-pixel-correspondence sim(3) alignment used upstream).
+    """
+    from scipy.spatial import cKDTree
+
+    rng = np.random.default_rng(seed)
+
+    def sub(x, nrm):
+        x = x.reshape(-1, 3)
+        nrm = None if nrm is None else nrm.reshape(-1, 3)
+        if len(x) > max_points:
+            sel = rng.choice(len(x), max_points, replace=False)
+            x = x[sel]
+            nrm = None if nrm is None else nrm[sel]
+        return np.asarray(x, np.float32), nrm
+
+    p, pn = sub(pred_pts, pred_normals)
+    g, gn = sub(gt_pts, gt_normals)
+    tp = cKDTree(p)
+    tg = cKDTree(g)
+    d_pg, i_pg = tg.query(p, k=1)
+    d_gp, i_gp = tp.query(g, k=1)
+    out = {
+        "accuracy": float(d_pg.mean()),
+        "accuracy_med": float(np.median(d_pg)),
+        "completion": float(d_gp.mean()),
+        "completion_med": float(np.median(d_gp)),
+    }
+    if pn is not None and gn is not None:
+        nc1 = np.abs(np.sum(pn * gn[i_pg], axis=-1))
+        nc2 = np.abs(np.sum(gn * pn[i_gp], axis=-1))
+        out.update(nc1=float(nc1.mean()), nc2=float(nc2.mean()),
+                   nc=float((nc1.mean() + nc2.mean()) / 2),
+                   nc1_med=float(np.median(nc1)),
+                   nc2_med=float(np.median(nc2)),
+                   nc_med=float((np.median(nc1) + np.median(nc2)) / 2))
+    return out
+
+
+def evaluate_reconstruction(core: InferenceCore, loader,
+                            num_mem_views: int = 4,
+                            max_batches: Optional[int] = None,
+                            conf_thr: float = 1.5,
+                            verbose: bool = True) -> Dict[str, float]:
+    """Acc/Comp/NC over an eval loader: reconstruct each sample's views,
+    sim(3)-align predictions to GT via the per-pixel correspondence
+    (MUSt3R output is up-to-scale), drop low-confidence pixels, and
+    average the per-scene cloud metrics."""
+    accs: List[Dict[str, float]] = []
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        pred = _forward_views(core, batch,
+                              num_mem_views=min(num_mem_views,
+                                                batch["img"].shape[1]))
+        pp = np.asarray(pred["pts3d"], np.float32)        # [B, V, H, W, 3]
+        conf = np.asarray(pred["conf"], np.float32)
+        gt = np.asarray(batch["pts3d"], np.float32)
+        valid = np.asarray(batch["valid_mask"])
+        b = pp.shape[0]
+        for e in range(b):
+            keep = valid[e] & (conf[e] > conf_thr)
+            if keep.sum() < 32:
+                keep = valid[e]
+            src = pp[e][keep].reshape(-1, 3)
+            dst = gt[e][keep].reshape(-1, 3)
+            t = umeyama_alignment(src, dst)
+            pa = pp[e] @ t[:3, :3].T + t[:3, 3]
+            pn = np.stack([pointmap_normals(pa[vi])
+                           for vi in range(pa.shape[0])])
+            gn = np.stack([pointmap_normals(gt[e][vi])
+                           for vi in range(gt[e].shape[0])])
+            accs.append(reconstruction_metrics(
+                pa[keep], gt[e][valid[e]], pn[keep], gn[valid[e]]))
+    report = {k: float(np.mean([a[k] for a in accs]))
+              for k in accs[0]} if accs else {}
+    if verbose and report:
+        print("3D recon:", {k: round(v, 5) for k, v in report.items()})
+    return report

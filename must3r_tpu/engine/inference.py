@@ -258,7 +258,8 @@ def offline_reconstruction(core: InferenceCore, imgs, img_hw=None,
                            render_bs: int = 8, encode_bs: int = 8,
                            capacity_images: Optional[int] = None,
                            compute_cam: bool = True,
-                           return_mem: bool = False):
+                           return_mem: bool = False,
+                           on_update=None):
     """Full offline pipeline for a single aspect-ratio bucket.
 
     Args:
@@ -267,6 +268,10 @@ def offline_reconstruction(core: InferenceCore, imgs, img_hw=None,
       portrait: optional bool [V] marking transposed (portrait) views.
       mem_views: indices of views that build the memory (default: all).
       to_render: indices of views to predict (default: all).
+      on_update: optional `(view_ids, partial_result_dict)` hook called
+        after every memory batch with that batch's first-pass predictions
+        (postprocessed) -- feeds live viewers during reconstruction, the
+        viser streaming role (reference inference.py:448-449).
 
     Returns dict of per-view arrays: pts3d, pts3d_local, conf [V,H,W,...],
     focal [V], c2w [V,4,4] -- matching reference postprocess keys.
@@ -296,10 +301,15 @@ def offline_reconstruction(core: InferenceCore, imgs, img_hw=None,
         xb = x[jnp.asarray(ids)][None]                     # [1, G, N, Denc]
         pb = pos[jnp.asarray(ids)][None]
         base = len(labels_of)
-        mem, _ = core.update(mem, xb, pb)
+        mem, toks = core.update(mem, xb, pb)
         for j, vid in enumerate(ids):
             labels_of[vid] = base + j
         cursor += bsize
+        if on_update is not None:
+            pm = core.head(toks, img_hw, portrait[jnp.asarray(ids)][None])
+            partial = postprocess(pm[0], core.dec_cfg.pointmaps_activation,
+                                  compute_cam=compute_cam)
+            on_update(ids, {k: np.asarray(v) for k, v in partial.items()})
 
     # refinement iterations: refresh each view's tokens against the full map
     for _ in range(num_refinement_iterations):

@@ -74,3 +74,66 @@ def test_evaluate_trajectory_timestamp_matching(rng):
     out = evaluate_trajectory(pred, gt, ts_pred, ts_gt)
     assert out["ate_rmse"] < 1e-9
     assert "rpe_trans_rmse" in out
+
+
+def test_reconstruction_metrics_identity_and_noise(rng):
+    """Acc/Comp/NC protocol (assets/evals.md:44-46): identical clouds score
+    perfectly; noise degrades accuracy but not completion symmetry."""
+    from must3r_tpu.engine.evaluate import (pointmap_normals,
+                                            reconstruction_metrics)
+    h, w = 24, 32
+    u, v = np.meshgrid(np.linspace(0, 2, w), np.linspace(0, 1.5, h))
+    pts = np.stack([u, v, 0.2 * np.sin(3 * u) + 0.1 * v ** 2], -1)
+    nrm = pointmap_normals(pts)
+    assert np.allclose(np.linalg.norm(nrm, axis=-1), 1.0, atol=1e-5)
+
+    m = reconstruction_metrics(pts, pts, nrm, nrm)
+    assert m["accuracy"] < 1e-7 and m["completion"] < 1e-7
+    assert m["nc"] > 0.999 and m["nc_med"] > 0.999
+
+    noisy = pts + rng.normal(0, 0.01, pts.shape)
+    m2 = reconstruction_metrics(noisy, pts, pointmap_normals(noisy), nrm)
+    assert 0.003 < m2["accuracy"] < 0.05
+    assert 0.003 < m2["completion"] < 0.05
+    assert m2["nc"] < m["nc"]
+
+
+def test_umeyama_alignment_4x4(rng):
+    from must3r_tpu.engine.evaluate import umeyama_alignment
+    src = rng.standard_normal((100, 3))
+    ang = 0.4
+    r = np.asarray([[np.cos(ang), -np.sin(ang), 0],
+                    [np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+    dst = 2.5 * src @ r.T + np.asarray([1.0, -2.0, 0.5])
+    t = umeyama_alignment(src, dst)
+    aligned = src @ t[:3, :3].T + t[:3, 3]
+    np.testing.assert_allclose(aligned, dst, atol=1e-6)
+
+
+def test_evaluate_reconstruction_on_synthetic():
+    """End-to-end Acc/Comp/NC harness over the synthetic loader (untrained
+    net: just finite metrics with the right keys)."""
+    import jax
+    import jax.numpy as jnp
+    from must3r_tpu.config import DecoderConfig, EncoderConfig
+    from must3r_tpu.datasets import SyntheticScenes, get_data_loader
+    from must3r_tpu.engine import InferenceCore
+    from must3r_tpu.engine.evaluate import evaluate_reconstruction
+    from must3r_tpu.models import init_decoder, init_encoder
+
+    hw = (32, 32)
+    enc_cfg = EncoderConfig(img_size=hw, patch_size=16, embed_dim=32,
+                            depth=1, num_heads=2)
+    dec_cfg = DecoderConfig(img_size=hw, enc_embed_dim=32, patch_size=16,
+                            embed_dim=32, output_dim=16 * 16 * 7, depth=1,
+                            num_heads=2)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    core = InferenceCore(init_encoder(k1, enc_cfg), init_decoder(k2, dec_cfg),
+                         enc_cfg, dec_cfg, dtype=jnp.float32, impl="chunked")
+    ds = SyntheticScenes(num_views=2, resolutions=((32, 32),), epoch_size=2,
+                         render_hw=(32, 32))
+    loader = get_data_loader(ds, batch_size=1, patch_size=16)
+    rep = evaluate_reconstruction(core, loader, num_mem_views=2,
+                                  max_batches=1, verbose=False)
+    for key in ("accuracy", "completion", "nc", "accuracy_med"):
+        assert key in rep and np.isfinite(rep[key])
