@@ -66,6 +66,15 @@ def _default_impl(dh: Optional[int] = None) -> str:
     return "pallas"
 
 
+def _dot_dtype(dtype):
+    """Operand dtype for the flash dots: native (bf16) on TPU -- full-rate
+    MXU passes with fp32 accumulation -- but f32 elsewhere (XLA:CPU's
+    partitioned DotThunk cannot execute BF16 x BF16 = F32)."""
+    if jax.default_backend() == "tpu":
+        return dtype
+    return jnp.float32
+
+
 # ---------------------------------------------------------------------------
 # Reference (naive) implementation -- ground truth for tests
 # ---------------------------------------------------------------------------
@@ -129,12 +138,21 @@ _sa_hybrid.defvjp(_sa_hybrid_fwd, _sa_hybrid_bwd)
 
 
 def _sa_chunked(q, k, v, chunk: int = 1024):
+    """Differentiable flash SA. MXU dots run in the input dtype with fp32
+    accumulation (full-rate bf16 training passes, fp32 parity unchanged);
+    softmax statistics are fp32."""
     b, n, h, dh = q.shape
     nk = k.shape[1]
+    wd = _dot_dtype(q.dtype)
+    scale = jnp.asarray(1.0 / math.sqrt(dh), wd)
     if nk <= chunk:
-        return attention_reference(q, k, v)
-    scale = 1.0 / math.sqrt(dh)
-    qf = (q.astype(jnp.float32) * scale).transpose(0, 2, 1, 3)  # B,H,N,Dh
+        s = jnp.einsum("bnhd,bkhd->bhnk", q.astype(wd) * scale,
+                       k.astype(wd), preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhnk,bkhd->bnhd", p.astype(wd), v.astype(wd),
+                         preferred_element_type=jnp.float32)
+        return out.astype(q.dtype)
+    qf = (q.astype(wd) * scale).transpose(0, 2, 1, 3)       # B,H,N,Dh
     pad = (-nk) % chunk
     kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
@@ -146,13 +164,16 @@ def _sa_chunked(q, k, v, chunk: int = 1024):
     def body(carry, inp):
         m, l, acc = carry
         k_c, v_c, val_c = inp
-        s = jnp.einsum("bhnd,bhcd->bhnc", qf, k_c.astype(jnp.float32))
+        s = jnp.einsum("bhnd,bhcd->bhnc", qf, k_c.astype(qf.dtype),
+                       preferred_element_type=jnp.float32)
         s = jnp.where(val_c[None, None, None, :], s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * corr + jnp.einsum("bhnc,bhcd->bhnd", p, v_c.astype(jnp.float32))
+        acc = acc * corr + jnp.einsum("bhnc,bhcd->bhnd", p.astype(qf.dtype),
+                                      v_c.astype(qf.dtype),
+                                      preferred_element_type=jnp.float32)
         return (m_new, l, acc), None
 
     m0 = jnp.full((b, h, n, 1), _NEG_INF, jnp.float32)
@@ -327,11 +348,17 @@ _ca_hybrid.defvjp(_ca_hybrid_fwd, _ca_hybrid_bwd)
 
 def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
                 chunk: int = 1024):
-    """Differentiable online-softmax cross-attention (XLA scan over S)."""
+    """Differentiable online-softmax cross-attention (XLA scan over S).
+
+    MXU dots run in the INPUT dtype with fp32 accumulation: bf16 training
+    inputs get full-rate bf16 passes (forward and, through the VJP, the
+    gradient matmuls) while fp32 parity runs stay fp32. Softmax statistics
+    (m, l, exp) are always fp32."""
     b, g, n, h, dh = q.shape
     s_cap = k.shape[2]
-    scale = 1.0 / math.sqrt(dh)
-    qf = (q.astype(jnp.float32) * scale).transpose(0, 1, 3, 2, 4)  # B,G,H,N,Dh
+    wd = _dot_dtype(q.dtype)
+    scale = jnp.asarray(1.0 / math.sqrt(dh), wd)
+    qf = (q.astype(wd) * scale).transpose(0, 1, 3, 2, 4)   # B,G,H,N,Dh
 
     c = min(chunk, s_cap)
     pad = (-s_cap) % c
@@ -358,7 +385,8 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
         else:
             k_c, v_c, lbl = inp
             ext = None
-        s = jnp.einsum("bghnd,bhcd->bghnc", qf, k_c.astype(jnp.float32))
+        s = jnp.einsum("bghnd,bhcd->bghnc", qf, k_c.astype(qf.dtype),
+                       preferred_element_type=jnp.float32)
         lb = lbl[:, None, :]                                      # B,1,c
         allow = (lb >= 0) & (lb != q_self[..., None]) & (lb < q_upper[..., None])
         if ext is not None:
@@ -368,8 +396,10 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * corr + jnp.einsum("bghnc,bhcd->bghnd", p,
-                                      v_c.astype(jnp.float32))
+        acc = acc * corr + jnp.einsum("bghnc,bhcd->bghnd",
+                                      p.astype(qf.dtype),
+                                      v_c.astype(qf.dtype),
+                                      preferred_element_type=jnp.float32)
         return (m_new, l, acc), None
 
     m0 = jnp.full((b, g, h, n, 1), _NEG_INF, jnp.float32)
@@ -381,7 +411,7 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
 
 
 def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
-               block_k: int = 512, block_q: int = 512,
+               block_k: Optional[int] = None, block_q: Optional[int] = None,
                interpret: bool = False):
     """Flash CA kernel over the packed KV cache.
 
@@ -403,6 +433,15 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
         layer = jnp.int32(0)
     s_cap = kv.shape[3]
     assert kv.shape[1:] == (b, h, s_cap, 2 * dh), kv.shape
+    # measured on v5e (scripts/bench_ca_kernel.py): streaming shapes
+    # (single-view queries, n <= 1024) run ~37% faster with 1024-token KV
+    # blocks and the whole query set as one block (44 -> 60 TF/s on a
+    # 64-keyframe update); the big render shapes prefer 512/512. Fall back
+    # to 512 KV blocks when the capacity rounding is finer than 1024.
+    if block_q is None:
+        block_q = 1024 if n <= 1024 else 512
+    if block_k is None:
+        block_k = 1024 if (n <= 1024 and s_cap % 1024 == 0) else 512
     bk = min(block_k, s_cap)
     assert s_cap % bk == 0, (
         f"memory capacity {s_cap} must be a multiple of block_k={bk}; "

@@ -22,14 +22,26 @@ def flops(b, g, n, h, dh, s):
     return 2 * 2 * b * g * h * n * s * dh     # QK^T + PV
 
 
-def bench(fn, args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def bench(call, q, kv, labels, iters=20):
+    """Pure device time per iteration: run the op in an on-device scan
+    inside ONE jitted dispatch (the remote tunnel costs ~26 ms per
+    dispatch/fetch, docs/PERF.md, so per-call host timing is meaningless).
+    A data dependency through the carry defeats CSE."""
+
+    @jax.jit
+    def loop(q, kv, labels):
+        def body(c, _):
+            o = call(q + c, kv, labels)
+            return jnp.max(o[..., :1, :1]).astype(q.dtype) * 0.0, None
+
+        c, _ = jax.lax.scan(body, jnp.zeros((), q.dtype), None,
+                            length=iters)
+        return c
+
+    float(loop(q, kv, labels))           # warmup + compile, one fetch
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    float(loop(q, kv, labels))
+    return (time.perf_counter() - t0 - 0.026) / iters   # subtract tunnel RT
 
 
 def main():
@@ -50,11 +62,14 @@ def main():
         labels = jnp.zeros((b, s), jnp.int32)
 
         for impl in ("pallas", "chunked"):
-            fn = jax.jit(lambda q, kv, lab, impl=impl: memory_cross_attention(
-                q, kv, lab, layer=jnp.int32(3), impl=impl))
-            dt = bench(fn, (q, kv, labels))
+            def call(q, kv, lab, impl=impl):
+                return memory_cross_attention(q, kv, lab,
+                                              layer=jnp.int32(3), impl=impl)
+
+            dt = bench(call, q, kv, labels)
             tf = flops(b, g, n, h, dh, s) / dt / 1e12
-            print(f"{name:18s} {impl:8s} {dt * 1e3:7.3f} ms  {tf:6.1f} TF/s")
+            print(f"{name:18s} {impl:8s} {dt * 1e3:7.3f} ms  {tf:6.1f} TF/s",
+                  flush=True)
 
 
 if __name__ == "__main__":
