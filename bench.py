@@ -134,13 +134,13 @@ def bench_retrieval_50():
     # *_codebook.pkl); train a fresh one outside the timed region
     head = identity_head(enc_cfg.embed_dim, nfeat=100)
     x = core.encode_all(imgs, pos, max_bs=10)
-    feats, _ = head.extract_local_features([np.asarray(t) for t in x])
+    feats, _ = head.extract_local_features(x)
     codebook = train_codebook(feats, k=512)
 
     def run():
         x = core.encode_all(imgs, pos, max_bs=10)
-        return select_keyframes(core, [np.asarray(t) for t in x], 10,
-                                head, codebook)
+        # tokens stay on device; only top-k features are fetched
+        return select_keyframes(core, x, 10, head, codebook)
 
     run()  # warmup + compile
     times = []

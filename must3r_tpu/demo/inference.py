@@ -57,10 +57,10 @@ def select_keyframes(core: InferenceCore, x_tokens, num_mem_images: int,
     (reference demo/inference.py:139-171): ASMK similarity over local
     encoder features, FPS anchors on 1-sim, then greedy ordering by
     similarity to the already-selected set."""
-    n = len(x_tokens)
+    n = len(x_tokens)          # views: list length or leading axis
     num_mem_images = min(num_mem_images, n)
-    head = head or identity_head(np.asarray(x_tokens[0]).shape[-1])
-    feats, ids = head.extract_local_features(list(x_tokens))
+    head = head or identity_head(np.shape(x_tokens[0])[-1])
+    feats, ids = head.extract_local_features(x_tokens)
     if codebook is None:
         from must3r_tpu.retrieval.asmk import train_codebook
         codebook = train_codebook(feats, k=min(1024, max(64, 8 * n)))
@@ -102,9 +102,10 @@ def must3r_inference(core: InferenceCore, views: Sequence[dict],
         pos = view_positions(img_hw, core.enc_cfg.patch_size, portrait,
                              batch_shape=(v,))
         x = core.encode_all(imgs, pos, max_bs=encode_bs)
-        keyframes = select_keyframes(core, [np.asarray(t) for t in x],
-                                     num_mem_images, retrieval_head,
-                                     codebook)
+        # tokens stay on device; only the selected local features are
+        # fetched (the full token set is ~150 MB at 50 views)
+        keyframes = select_keyframes(core, x, num_mem_images,
+                                     retrieval_head, codebook)
     not_keyframes = sorted(set(range(v)) - set(keyframes))
     order = list(keyframes) + not_keyframes
     if verbose:

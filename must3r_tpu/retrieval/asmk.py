@@ -81,35 +81,37 @@ class ASMK:
     def _aggregate(self, features, ids, ma: int):
         """Per (image, cell): binarize the sum of residuals.
 
+        Fully vectorized group-by: one lexsort over all (assignment pass,
+        feature) rows, run-boundary detection, `np.add.reduceat` for the
+        per-group residual sums -- the only remaining python loop is over
+        distinct cells. (A per-group loop costs seconds on a 50-image
+        collection with MA=5.)
+
         Returns dict cell -> (image_ids [M], bits [M, D] bool)."""
         assign = _assign(features, self.codebook, ma)      # [N, ma]
-        cells: Dict[int, Dict[int, np.ndarray]] = {}
-        d = features.shape[1]
-        for a in range(ma):
-            cell_of = assign[:, a]
-            residual = features - self.codebook[cell_of]
-            order = np.lexsort((ids, cell_of))
-            cs, is_, rs = cell_of[order], ids[order], residual[order]
-            # group-by (cell, image) via run boundaries
-            boundary = np.ones(len(cs), bool)
-            boundary[1:] = (cs[1:] != cs[:-1]) | (is_[1:] != is_[:-1])
-            starts = np.flatnonzero(boundary)
-            ends = np.append(starts[1:], len(cs))
-            for s, e in zip(starts, ends):
-                cell = int(cs[s])
-                img = int(is_[s])
-                agg = rs[s:e].sum(0)
-                cells.setdefault(cell, {})
-                if img in cells[cell]:
-                    cells[cell][img] = cells[cell][img] + agg
-                else:
-                    cells[cell][img] = agg
-        packed = {}
-        for cell, per_img in cells.items():
-            imgs = np.fromiter(per_img.keys(), np.int64, len(per_img))
-            bits = np.stack([per_img[i] >= 0 for i in imgs])
-            packed[cell] = (imgs, bits)
-        return packed
+        n = features.shape[0]
+        if n == 0:
+            return {}
+        cell_flat = assign.T.reshape(-1)                   # [ma*N]
+        ids_flat = np.tile(np.asarray(ids, np.int64), ma)
+        feat_idx = np.tile(np.arange(n), ma)
+        order = np.lexsort((ids_flat, cell_flat))
+        cs = cell_flat[order]
+        is_ = ids_flat[order]
+        residual = features[feat_idx[order]] - self.codebook[cs]
+        boundary = np.ones(len(cs), bool)
+        boundary[1:] = (cs[1:] != cs[:-1]) | (is_[1:] != is_[:-1])
+        starts = np.flatnonzero(boundary)
+        agg = np.add.reduceat(residual, starts, axis=0)    # [groups, D]
+        bits_all = agg >= 0
+        gcells = cs[starts]
+        gimgs = is_[starts]
+        cell_bound = np.ones(len(starts), bool)
+        cell_bound[1:] = gcells[1:] != gcells[:-1]
+        cstarts = np.flatnonzero(cell_bound)
+        cends = np.append(cstarts[1:], len(starts))
+        return {int(gcells[s]): (gimgs[s:e], bits_all[s:e])
+                for s, e in zip(cstarts, cends)}
 
     def build_ivf(self, features: np.ndarray, ids: np.ndarray) -> "_IVF":
         features = np.ascontiguousarray(features, np.float32)
@@ -142,9 +144,11 @@ class ASMK:
             if cell not in ivf.cells:
                 continue
             d_imgs, d_bits = ivf.cells[cell]
-            # binary cosine in {-1,1}^D: 1 - 2*hamming/D
-            ham = (q_bits[:, None, :] != d_bits[None, :, :]).sum(-1)
-            s = 1.0 - 2.0 * ham / d
+            # binary cosine in {-1,1}^D as a BLAS matmul (the boolean
+            # hamming broadcast allocates mq x md x D and is ~10x slower)
+            qpm = q_bits.astype(np.float32) * 2.0 - 1.0
+            dpm = d_bits.astype(np.float32) * 2.0 - 1.0
+            s = (qpm @ dpm.T) / d
             s = np.where(s >= self.tau,
                          np.sign(s) * np.abs(s) ** self.alpha, 0.0)
             scores[np.ix_(q_imgs, d_imgs)] += s

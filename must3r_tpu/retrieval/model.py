@@ -78,6 +78,9 @@ class RetrievalHead:
         self.nfeat = nfeat
         self.residual = residual
         self._features_and_attention = jax.jit(self.features_and_attention)
+        self._forward_local = jax.jit(
+            lambda x: how_select_local(*self.features_and_attention(x),
+                                       self.nfeat))
 
     def features_and_attention(self, x):
         p = self.params
@@ -101,17 +104,41 @@ class RetrievalHead:
         return h, attn
 
     def forward_local(self, x):
-        feat, attn = self._features_and_attention(x)
-        return how_select_local(feat, attn, self.nfeat)
+        return self._forward_local(x)
 
     def forward_global(self, x):
         feat, attn = self._features_and_attention(x)
         return weighted_spoc(feat, attn)
 
-    def extract_local_features(self, tokens_list: List) -> Tuple[np.ndarray,
-                                                                 np.ndarray]:
-        """Per-image encoder tokens -> stacked local features + image ids
-        (reference extract_local_features / MUSt3R_Retriever._preproc)."""
+    def extract_local_features(self, tokens) -> Tuple[np.ndarray,
+                                                      np.ndarray]:
+        """Encoder tokens -> stacked local features + image ids
+        (reference extract_local_features / MUSt3R_Retriever._preproc).
+
+        Accepts a single [V, N, D] array (device arrays stay on device --
+        crucial through a slow host link: the full token set is ~150 MB at
+        50 views while the selected features are ~20x smaller) or a list
+        of per-image [N_i, D] arrays. Uniform shapes run as ONE jitted
+        batch with a single host fetch of just the top-k features."""
+        if not isinstance(tokens, (list, tuple)):
+            tokens_list = None
+            x = tokens
+        else:
+            tokens_list = tokens
+            shapes = {tuple(np.shape(t)) for t in tokens_list}
+            x = None
+            if len(shapes) == 1:
+                arrs = tokens_list
+                if any(isinstance(t, np.ndarray) for t in arrs):
+                    x = jnp.asarray(np.stack([np.asarray(t) for t in arrs]))
+                else:
+                    x = jnp.stack([jnp.asarray(t) for t in arrs])
+        if x is not None:
+            f, _, _ = self.forward_local(x)
+            feats_b = np.asarray(f)                      # [V, k, C]
+            v, k, _ = feats_b.shape
+            ids = np.repeat(np.arange(v, dtype=np.int64), k)
+            return feats_b.reshape(v * k, -1), ids
         feats, ids = [], []
         for i, toks in enumerate(tokens_list):
             f, _, _ = self.forward_local(jnp.asarray(toks)[None])
