@@ -308,9 +308,13 @@ def memory_cross_attention(q, kv, labels, q_self=None, q_upper=None,
     if kv_len is None:
         kv_len = jnp.int32(s_cap)
     impl = impl or _default_impl(dh)
-    if impl == "pallas" and extra_mask is None:
-        # differentiable: pallas forward, XLA-recompute backward
-        return _ca_hybrid(q, kv5, labels, q_self, q_upper, kv_len, layer)
+    if impl == "pallas":
+        # differentiable: pallas forward + flash-backward kernels
+        if extra_mask is None:
+            return _ca_hybrid(q, kv5, labels, q_self, q_upper, kv_len,
+                              layer)
+        return _ca_hybrid_ext(q, kv5, labels, q_self, q_upper, kv_len,
+                              layer, extra_mask.astype(jnp.int32))
     k, v = jnp.split(jax.lax.dynamic_index_in_dim(kv5, layer, 0, False),
                      2, axis=-1)
     return _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask)
@@ -328,22 +332,74 @@ def _ca_hybrid(q, kv5, labels, q_self, q_upper, kv_len, layer):
 
 
 def _ca_hybrid_fwd(q, kv5, labels, q_self, q_upper, kv_len, layer):
-    out = _ca_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer)
-    return out, (q, kv5, labels, q_self, q_upper, layer)
+    out, lse = _ca_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer,
+                          return_stats=True)
+    return out, (q, kv5, labels, q_self, q_upper, kv_len, layer, lse, out)
 
 
 def _ca_hybrid_bwd(res, g):
-    q, kv5, labels, q_self, q_upper, layer = res
-    _, vjp = jax.vjp(
-        lambda q_, kv_: _ca_chunked_from_packed(q_, kv_, labels, q_self,
-                                                q_upper, layer), q, kv5)
-    dq, dkv = vjp(g)
+    """Flash-backward kernels (dQ + dK/dV) -- no score/probability tensor
+    is ever materialized, unlike the XLA VJP of the chunked scan."""
+    q, kv5, labels, q_self, q_upper, kv_len, layer, lse, out = res
+    # delta = rowsum(g * o), in the kernels' padded row layout [B,G,H,Nq']
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).transpose(0, 1, 3, 2)[..., None]  # B,G,H,N,1
+    row_pad = lse.shape[3] - delta.shape[3]
+    if row_pad:
+        delta = jnp.pad(delta,
+                        ((0, 0), (0, 0), (0, 0), (0, row_pad), (0, 0)))
+    dq = _ca_bwd_dq_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer,
+                           lse, delta, g)
+    dkv_l = _ca_bwd_dkv_pallas(q, kv5, labels, q_self, q_upper, kv_len,
+                               layer, lse, delta, g)
+    dkv5 = jax.lax.dynamic_update_slice(
+        jnp.zeros_like(kv5), dkv_l[None].astype(kv5.dtype),
+        (jnp.asarray(layer, jnp.int32), 0, 0, 0, 0))
     zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
-    return (dq, dkv, zero(labels), zero(q_self), zero(q_upper),
+    return (dq, dkv5, zero(labels), zero(q_self), zero(q_upper),
             zero(jnp.asarray(0, jnp.int32)), zero(jnp.asarray(0, jnp.int32)))
 
 
 _ca_hybrid.defvjp(_ca_hybrid_fwd, _ca_hybrid_bwd)
+
+
+@jax.custom_vjp
+def _ca_hybrid_ext(q, kv5, labels, q_self, q_upper, kv_len, layer, ext):
+    """Pallas CA with a token-dropout mask (ext int32 [B, G, S];
+    nonzero = blocked) -- the training path's extra_mask."""
+    return _ca_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer,
+                      ext=ext)
+
+
+def _ca_hybrid_ext_fwd(q, kv5, labels, q_self, q_upper, kv_len, layer, ext):
+    out, lse = _ca_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer,
+                          ext=ext, return_stats=True)
+    return out, (q, kv5, labels, q_self, q_upper, kv_len, layer, ext, lse,
+                 out)
+
+
+def _ca_hybrid_ext_bwd(res, g):
+    q, kv5, labels, q_self, q_upper, kv_len, layer, ext, lse, out = res
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1).transpose(0, 1, 3, 2)[..., None]
+    row_pad = lse.shape[3] - delta.shape[3]
+    if row_pad:
+        delta = jnp.pad(delta,
+                        ((0, 0), (0, 0), (0, 0), (0, row_pad), (0, 0)))
+    dq = _ca_bwd_dq_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer,
+                           lse, delta, g, ext=ext)
+    dkv_l = _ca_bwd_dkv_pallas(q, kv5, labels, q_self, q_upper, kv_len,
+                               layer, lse, delta, g, ext=ext)
+    dkv5 = jax.lax.dynamic_update_slice(
+        jnp.zeros_like(kv5), dkv_l[None].astype(kv5.dtype),
+        (jnp.asarray(layer, jnp.int32), 0, 0, 0, 0))
+    zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
+    return (dq, dkv5, zero(labels), zero(q_self), zero(q_upper),
+            zero(jnp.asarray(0, jnp.int32)), zero(jnp.asarray(0, jnp.int32)),
+            zero(ext))
+
+
+_ca_hybrid_ext.defvjp(_ca_hybrid_ext_fwd, _ca_hybrid_ext_bwd)
 
 
 def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
@@ -412,7 +468,8 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
 
 def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
                block_k: Optional[int] = None, block_q: Optional[int] = None,
-               interpret: bool = False):
+               interpret: bool = False, return_stats: bool = False,
+               ext=None):
     """Flash CA kernel over the packed KV cache.
 
     The cache stays in HBM; (k|v) blocks are DMA'd as one contiguous stream
@@ -438,37 +495,35 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
     # blocks and the whole query set as one block (44 -> 60 TF/s on a
     # 64-keyframe update); the big render shapes prefer 512/512. Fall back
     # to 512 KV blocks when the capacity rounding is finer than 1024.
-    if block_q is None:
-        block_q = 1024 if n <= 1024 else 512
-    if block_k is None:
-        block_k = 1024 if (n <= 1024 and s_cap % 1024 == 0) else 512
-    bk = min(block_k, s_cap)
-    assert s_cap % bk == 0, (
-        f"memory capacity {s_cap} must be a multiple of block_k={bk}; "
-        "round capacities up when allocating the memory")
+    # (_ca_prep holds the shared defaults + lane-aligned q tiling; labels
+    # are pre-tiled as [rows, 1, bk] so DMA slices address only the
+    # untiled major dim -- Mosaic rejects sub-tile row slices.)
+    bk, bq, n_qb, q_pad, len_and_layer, labels_tiled = _ca_prep(
+        q, kv, labels, kv_len, layer, block_k, block_q)
     scale = 1.0 / math.sqrt(dh)
 
     qt = q.transpose(0, 1, 3, 2, 4)  # B,G,H,N,Dh
-    # tile the query axis so the f32 score block (bq x bk) fits VMEM
-    bq = min(block_q, n)
-    n_qb = -(-n // bq)
-    q_pad = n_qb * bq - n
     if q_pad:
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, 0), (0, q_pad), (0, 0)))
-    len_and_layer = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
-                               jnp.asarray(layer, jnp.int32).reshape(())])
     q_self = q_self.astype(jnp.int32)
     q_upper = q_upper.astype(jnp.int32)
-    # labels pre-tiled as [rows, 1, bk]: DMA slices then address only the
-    # untiled major dim, and source/destination tiles are both (1, bk) --
-    # Mosaic rejects sub-tile row slices of a plain [B, S] i32 array and
-    # 1D<->2D tile mismatches
-    labels_tiled = labels.reshape(b * (s_cap // bk), 1, bk)
+
+    has_ext = ext is not None
+    ext_tiled = (ext.astype(jnp.int32).reshape(
+        b * g * (s_cap // bk), 1, bk) if has_ext else None)
 
     def kernel(len_ref, qself_ref, qupper_ref,       # scalar prefetch
-               q_ref, kv_hbm, lbl_hbm,               # inputs
-               o_ref,                                 # output
-               kv_buf, lbl_buf, sem):                 # scratch
+               q_ref, kv_hbm, lbl_hbm, *rest):       # inputs/outputs/scratch
+        if has_ext:
+            ext_hbm, o_ref, *rest = rest
+        else:
+            o_ref, *rest = rest
+        if return_stats:
+            lse_ref, *rest = rest
+        if has_ext:
+            kv_buf, lbl_buf, ext_buf, sem = rest
+        else:
+            kv_buf, lbl_buf, sem = rest
         bi = pl.program_id(0)
         gi = pl.program_id(1)
         hi = pl.program_id(2)
@@ -489,9 +544,16 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
             return pltpu.make_async_copy(
                 lbl_hbm.at[row], lbl_buf.at[slot], sem.at[slot, 1])
 
+        def dma_e(slot, idx):
+            row = (bi * g + gi) * (s_cap // bk) + idx
+            return pltpu.make_async_copy(
+                ext_hbm.at[row], ext_buf.at[slot], sem.at[slot, 2])
+
         def start(slot, idx):
             dma_kv(slot, idx).start()
             dma_l(slot, idx).start()
+            if has_ext:
+                dma_e(slot, idx).start()
 
         start(0, 0)
 
@@ -505,6 +567,8 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
 
             dma_kv(slot, i).wait()
             dma_l(slot, i).wait()
+            if has_ext:
+                dma_e(slot, i).wait()
 
             kb = kv_buf[slot, :, :dh]                      # (bk, Dh)
             vb = kv_buf[slot, :, dh:]
@@ -514,6 +578,8 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
                                     preferred_element_type=jnp.float32)
             s = s * scale
             allow = (lbl >= 0) & (lbl != qs) & (lbl < qu)  # (1, bk)
+            if has_ext:
+                allow = allow & (ext_buf[slot] == 0)
             s = jnp.where(allow, s, _NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
@@ -528,28 +594,233 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
         acc0 = jnp.zeros((bq, dh), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
         o_ref[0, 0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if return_stats:
+            # log-sum-exp per query row (flash-bwd recompute statistic)
+            lse_ref[0, 0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
+    out_shapes = [jax.ShapeDtypeStruct((b, g, h, n_qb * bq, dh), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, 1, bq, dh),
+                              lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi,
+                                                          0))]
+    if return_stats:
+        # trailing singleton keeps the block's last two dims tile-legal
+        out_shapes.append(jax.ShapeDtypeStruct((b, g, h, n_qb * bq, 1),
+                                               jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 1, bq, 1),
+            lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi, 0)))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, 1, bq, dh),
+                     lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        # labels pinned to HBM: if promoted to VMEM, Mosaic cannot
+        # take sub-tile-aligned slices of small int arrays
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    scratch = [
+        pltpu.VMEM((2, bk, 2 * dh), kv.dtype),
+        pltpu.VMEM((2, 1, bk), jnp.int32),
+        pltpu.SemaphoreType.DMA((2, 3 if has_ext else 2)),
+    ]
+    args = [len_and_layer, q_self, q_upper, qt, kv, labels_tiled]
+    if has_ext:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        scratch.insert(2, pltpu.VMEM((2, 1, bk), jnp.int32))
+        args.append(ext_tiled)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, g, h, n_qb),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, bq, dh),
-                         lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            # labels pinned to HBM: if promoted to VMEM, Mosaic cannot
-            # take sub-tile-aligned slices of small int arrays
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 1, bq, dh),
-                               lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi,
-                                                           0)),
-        scratch_shapes=[
-            pltpu.VMEM((2, bk, 2 * dh), kv.dtype),
-            pltpu.VMEM((2, 1, bk), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if return_stats else out_specs[0],
+        scratch_shapes=scratch,
     )
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shapes) if return_stats else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    out, lse = outs if return_stats else (outs, None)
+    if q_pad:
+        out = out[:, :, :, :n, :]
+    out = out.transpose(0, 1, 3, 2, 4)
+    if return_stats:
+        # lse keeps the padded [B, G, H, n_qb*bq, 1] rows
+        return out, lse
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Flash-backward kernels (dQ and dK/dV), replacing the XLA-recompute VJP
+# for the Pallas CA path. Standard flash-attention backward with the label
+# masks recomputed in-kernel from the saved log-sum-exp:
+#
+#   p  = allow * exp(q.k^T * scale - lse)
+#   dp = g . v^T
+#   ds = p * (dp - delta),  delta = rowsum(g * o)
+#   dq = ds . k * scale     (per q block, looping kv blocks)
+#   dk = ds^T . q * scale;  dv = p^T . g   (per kv block, looping q blocks)
+#
+# No score/probability tensor is ever materialized in HBM -- the XLA VJP
+# of the chunked scan stored ~50 MB of p per (layer, step) residual.
+# ---------------------------------------------------------------------------
+
+def _ca_prep(q, kv, labels, kv_len, layer, block_k, block_q):
+    """Shared layout plumbing for the CA kernels."""
+    b, g, n, h, dh = q.shape
+    s_cap = kv.shape[3]
+    if block_q is None:
+        block_q = 1024 if n <= 1024 else 512
+    if block_k is None:
+        block_k = 1024 if (n <= 1024 and s_cap % 1024 == 0) else 512
+    bk = min(block_k, s_cap)
+    assert s_cap % bk == 0, (s_cap, bk)
+    # lane-aligned q blocks (Mosaic tiling): round the block up to a
+    # multiple of 128; the query axis is zero-padded to n_qb*bq
+    bq = min(block_q, -(-n // 128) * 128)
+    n_qb = -(-n // bq)
+    q_pad = n_qb * bq - n
+    len_and_layer = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
+                               jnp.asarray(layer, jnp.int32).reshape(())])
+    labels_tiled = labels.reshape(b * (s_cap // bk), 1, bk)
+    return bk, bq, n_qb, q_pad, len_and_layer, labels_tiled
+
+
+def _pad_rows(x, q_pad):
+    """Pad the query axis (axis 3) of [B, G, H, N, ...] with zeros."""
+    if not q_pad:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[3] = (0, q_pad)
+    return jnp.pad(x, widths)
+
+
+def _ca_bwd_dq_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
+                      lse, delta, g_out, block_k=None, block_q=None,
+                      interpret: bool = False, ext=None):
+    """dQ: same grid/DMA structure as the forward; accumulates
+    ds . k over the live KV blocks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, g, n, h, dh = q.shape
+    s_cap = kv.shape[3]
+    bk, bq, n_qb, q_pad, len_and_layer, labels_tiled = _ca_prep(
+        q, kv, labels, kv_len, layer, block_k, block_q)
+    scale = 1.0 / math.sqrt(dh)
+
+    qt = _pad_rows(q.transpose(0, 1, 3, 2, 4), q_pad)
+    gt = _pad_rows(g_out.transpose(0, 1, 3, 2, 4), q_pad)
+    # lse/delta already carry the padded row count [B, G, H, n_qb*bq]
+    has_ext = ext is not None
+    ext_tiled = (ext.astype(jnp.int32).reshape(
+        b * g * (s_cap // bk), 1, bk) if has_ext else None)
+
+    def kernel(len_ref, qself_ref, qupper_ref,
+               q_ref, g_ref, lse_ref, dlt_ref, kv_hbm, lbl_hbm, *rest):
+        if has_ext:
+            ext_hbm, dq_ref, kv_buf, lbl_buf, ext_buf, sem = rest
+        else:
+            dq_ref, kv_buf, lbl_buf, sem = rest
+        bi = pl.program_id(0)
+        gi = pl.program_id(1)
+        hi = pl.program_id(2)
+        length = len_ref[0]
+        li = len_ref[1]
+        n_blocks = jnp.maximum(pl.cdiv(length, bk), 1)
+        qs = qself_ref[bi, gi]
+        qu = qupper_ref[bi, gi]
+        qb = q_ref[0, 0, 0]                               # (bq, Dh)
+        gb = g_ref[0, 0, 0]
+        lse = lse_ref[0, 0, 0]                            # (bq, 1)
+        dlt = dlt_ref[0, 0, 0]
+
+        def dma_kv(slot, idx):
+            return pltpu.make_async_copy(
+                kv_hbm.at[li, bi, hi, pl.ds(idx * bk, bk), :],
+                kv_buf.at[slot], sem.at[slot, 0])
+
+        def dma_l(slot, idx):
+            row = bi * (s_cap // bk) + idx
+            return pltpu.make_async_copy(
+                lbl_hbm.at[row], lbl_buf.at[slot], sem.at[slot, 1])
+
+        def dma_e(slot, idx):
+            row = (bi * g + gi) * (s_cap // bk) + idx
+            return pltpu.make_async_copy(
+                ext_hbm.at[row], ext_buf.at[slot], sem.at[slot, 2])
+
+        def start(slot, idx):
+            dma_kv(slot, idx).start()
+            dma_l(slot, idx).start()
+            if has_ext:
+                dma_e(slot, idx).start()
+
+        start(0, 0)
+
+        def body(i, dq):
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i + 1 < n_blocks)
+            def _():
+                start(jax.lax.rem(i + 1, 2), i + 1)
+
+            dma_kv(slot, i).wait()
+            dma_l(slot, i).wait()
+            if has_ext:
+                dma_e(slot, i).wait()
+            kb = kv_buf[slot, :, :dh]                      # (bk, Dh)
+            vb = kv_buf[slot, :, dh:]
+            lbl = lbl_buf[slot]                            # (1, bk)
+            s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale
+            allow = (lbl >= 0) & (lbl != qs) & (lbl < qu)
+            if has_ext:
+                allow = allow & (ext_buf[slot] == 0)
+            p = jnp.where(allow, jnp.exp(s - lse), 0.0)    # (bq, bk)
+            dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - dlt)
+            dq = dq + jax.lax.dot(ds.astype(kb.dtype), kb,
+                                  preferred_element_type=jnp.float32)
+            return dq
+
+        dq0 = jnp.zeros((bq, dh), jnp.float32)
+        dq = jax.lax.fori_loop(0, n_blocks, body, dq0)
+        dq_ref[0, 0, 0] = (dq * scale).astype(dq_ref.dtype)
+
+    qblock = pl.BlockSpec((1, 1, 1, bq, dh),
+                          lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi, 0))
+    row = pl.BlockSpec((1, 1, 1, bq, 1),
+                       lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi, 0))
+    in_specs = [qblock, qblock, row, row,
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.HBM)]
+    scratch = [
+        pltpu.VMEM((2, bk, 2 * dh), kv.dtype),
+        pltpu.VMEM((2, 1, bk), jnp.int32),
+        pltpu.SemaphoreType.DMA((2, 3 if has_ext else 2)),
+    ]
+    args = [len_and_layer, q_self.astype(jnp.int32),
+            q_upper.astype(jnp.int32), qt, gt, lse, delta, kv, labels_tiled]
+    if has_ext:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        scratch.insert(2, pltpu.VMEM((2, 1, bk), jnp.int32))
+        args.append(ext_tiled)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, g, h, n_qb),
+        in_specs=in_specs,
+        out_specs=qblock,
+        scratch_shapes=scratch,
+    )
+    dq = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, g, h, n_qb * bq, dh), q.dtype),
@@ -558,7 +829,195 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(len_and_layer, q_self, q_upper, qt, kv, labels_tiled)
+    )(*args)
     if q_pad:
-        out = out[:, :, :, :n, :]
-    return out.transpose(0, 1, 3, 2, 4)
+        dq = dq[:, :, :, :n, :]
+    return dq.transpose(0, 1, 3, 2, 4)
+
+
+def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
+                       lse, delta, g_out, block_k=None, block_q=None,
+                       interpret: bool = False, ext=None):
+    """dK|dV for ONE layer's cache row [B, H, S, 2*Dh]: each program owns
+    one KV block and loops every (image, q-block), recomputing p and
+    accumulating ds^T.q and p^T.g. Blocks past the live length write
+    zeros. Padded q rows contribute nothing (their g/delta are zero)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, g, n, h, dh = q.shape
+    s_cap = kv.shape[3]
+    bk, bq, n_qb, q_pad, len_and_layer, labels_tiled = _ca_prep(
+        q, kv, labels, kv_len, layer, block_k, block_q)
+    scale = 1.0 / math.sqrt(dh)
+
+    qt = _pad_rows(q.transpose(0, 1, 3, 2, 4), q_pad)      # B,G,H,Nq,Dh
+    gt = _pad_rows(g_out.transpose(0, 1, 3, 2, 4), q_pad)
+    # rows for DMA: address only the untiled major dim (same trick as the
+    # labels). q and g are packed side by side into one 128-lane row --
+    # Mosaic rejects VMEM buffers whose lane dim (Dh=64) underfills the
+    # 128-lane tile, but a :Dh slice of a full 2*Dh row is legal (the
+    # forward's kv_buf uses the same pattern).
+    qg_rows = jnp.concatenate([qt, gt], axis=-1).reshape(
+        b * g * h * n_qb, bq, 2 * dh)
+    lse_rows = lse.reshape(b * g * h * n_qb, 1, bq)
+    dlt_rows = delta.reshape(b * g * h * n_qb, 1, bq)
+    has_ext = ext is not None
+    # per (image, kv-block) mask rows; the own block's row per image
+    ext_tiled = (ext.astype(jnp.int32).reshape(
+        b * g * (s_cap // bk), 1, bk) if has_ext else None)
+
+    def kernel(len_ref, qself_ref, qupper_ref, *refs):
+        if has_ext:
+            (qg_hbm, lse_hbm, dlt_hbm, kv_hbm, lbl_hbm, ext_hbm,
+             dkv_ref, qg_buf, lse_buf, dlt_buf, kv_buf, lbl_buf,
+             ext_buf, sem) = refs
+        else:
+            (qg_hbm, lse_hbm, dlt_hbm, kv_hbm, lbl_hbm,
+             dkv_ref, qg_buf, lse_buf, dlt_buf, kv_buf, lbl_buf,
+             sem) = refs
+        bi = pl.program_id(0)
+        hi = pl.program_id(1)
+        ki = pl.program_id(2)
+        length = len_ref[0]
+        li = len_ref[1]
+
+        @pl.when(ki * bk >= jnp.maximum(length, 1))
+        def _():
+            dkv_ref[...] = jnp.zeros_like(dkv_ref)
+
+        @pl.when(ki * bk < jnp.maximum(length, 1))
+        def _():
+            # own KV block + labels (one sync DMA each; reused across the
+            # whole q loop)
+            cp = pltpu.make_async_copy(
+                kv_hbm.at[li, bi, hi, pl.ds(ki * bk, bk), :], kv_buf,
+                sem.at[0, 0])
+            cp.start()
+            lp = pltpu.make_async_copy(
+                lbl_hbm.at[bi * (s_cap // bk) + ki], lbl_buf, sem.at[0, 1])
+            lp.start()
+            cp.wait()
+            lp.wait()
+            kb = kv_buf[:, :dh]
+            vb = kv_buf[:, dh:]
+            lbl = lbl_buf[0][None]                        # (1, bk)
+
+            def row_id(gi, qi):
+                return ((bi * g + gi) * h + hi) * n_qb + qi
+
+            def dma_qg(slot, gi, qi):
+                return pltpu.make_async_copy(
+                    qg_hbm.at[row_id(gi, qi)], qg_buf.at[slot],
+                    sem.at[slot, 0])
+
+            def dma_s(slot, gi, qi):
+                return pltpu.make_async_copy(
+                    lse_hbm.at[row_id(gi, qi)], lse_buf.at[slot],
+                    sem.at[slot, 2])
+
+            def dma_d(slot, gi, qi):
+                return pltpu.make_async_copy(
+                    dlt_hbm.at[row_id(gi, qi)], dlt_buf.at[slot],
+                    sem.at[slot, 3])
+
+            def dma_e(slot, gi):
+                row = (bi * g + gi) * (s_cap // bk) + ki
+                return pltpu.make_async_copy(
+                    ext_hbm.at[row], ext_buf.at[slot], sem.at[slot, 1])
+
+            def start(slot, j):
+                gi, qi = jax.lax.div(j, n_qb), jax.lax.rem(j, n_qb)
+                dma_qg(slot, gi, qi).start()
+                dma_s(slot, gi, qi).start()
+                dma_d(slot, gi, qi).start()
+                if has_ext:
+                    dma_e(slot, gi).start()
+
+            def wait(slot, j):
+                gi, qi = jax.lax.div(j, n_qb), jax.lax.rem(j, n_qb)
+                dma_qg(slot, gi, qi).wait()
+                dma_s(slot, gi, qi).wait()
+                dma_d(slot, gi, qi).wait()
+                if has_ext:
+                    dma_e(slot, gi).wait()
+
+            start(0, 0)
+            n_j = g * n_qb
+
+            def body(j, carry):
+                dk, dv = carry
+                slot = jax.lax.rem(j, 2)
+
+                @pl.when(j + 1 < n_j)
+                def _():
+                    start(jax.lax.rem(j + 1, 2), j + 1)
+
+                wait(slot, j)
+                gi = jax.lax.div(j, n_qb)
+                qs = qself_ref[bi, gi]
+                qu = qupper_ref[bi, gi]
+                qb = qg_buf[slot, :, :dh]                  # (bq, Dh)
+                gb = qg_buf[slot, :, dh:]
+                lse_r = lse_buf[slot][0][:, None]          # (bq, 1)
+                dlt_r = dlt_buf[slot][0][:, None]
+                s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s * scale
+                allow = (lbl >= 0) & (lbl != qs) & (lbl < qu)
+                if has_ext:
+                    allow = allow & (ext_buf[slot][0][None] == 0)
+                p = jnp.where(allow, jnp.exp(s - lse_r), 0.0)  # (bq, bk)
+                dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+                ds = p * (dp - dlt_r)
+                dv = dv + jax.lax.dot_general(
+                    p.astype(gb.dtype), gb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dk = dk + jax.lax.dot_general(
+                    ds.astype(qb.dtype), qb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return dk, dv
+
+            dk0 = jnp.zeros((bk, dh), jnp.float32)
+            dv0 = jnp.zeros((bk, dh), jnp.float32)
+            dk, dv = jax.lax.fori_loop(0, n_j, body, (dk0, dv0))
+            dkv_ref[0, 0] = jnp.concatenate(
+                [dk * scale, dv], axis=-1).astype(dkv_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, h, s_cap // bk),
+        in_specs=([pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.HBM)]
+                  + ([pl.BlockSpec(memory_space=pltpu.HBM)]
+                     if has_ext else [])),
+        out_specs=pl.BlockSpec((1, 1, bk, 2 * dh),
+                               lambda bi, hi, ki, *_: (bi, hi, ki, 0)),
+        scratch_shapes=([
+            pltpu.VMEM((2, bq, 2 * dh), q.dtype),
+            pltpu.VMEM((2, 1, bq), jnp.float32),
+            pltpu.VMEM((2, 1, bq), jnp.float32),
+            pltpu.VMEM((bk, 2 * dh), kv.dtype),
+            pltpu.VMEM((1, bk), jnp.int32)]
+            + ([pltpu.VMEM((2, 1, bk), jnp.int32)] if has_ext else [])
+            + [pltpu.SemaphoreType.DMA((2, 4))]),
+    )
+    args = [len_and_layer, q_self.astype(jnp.int32),
+            q_upper.astype(jnp.int32), qg_rows, lse_rows, dlt_rows, kv,
+            labels_tiled]
+    if has_ext:
+        args.append(ext_tiled)
+    dkv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, s_cap, 2 * dh), kv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    return dkv

@@ -291,25 +291,56 @@ def test_hybrid_attention_gradients_match_chunked(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_memory_ca_hybrid_grads_on_tpu_path(rng):
-    """End-to-end grad through memory_cross_attention with impl='pallas'
-    (runs the custom-VJP rule; kernel in interpret mode off-TPU would be
-    slow, so this exercises shape/plumbing via the chunked fallback when
-    extra_mask forces it)."""
-    b, g_, n, h, dh, s = 1, 1, 4, 1, 8, 16
-    q = jnp.asarray(rng.standard_normal((b, g_, n, h, dh)), jnp.float32)
-    kv = jnp.asarray(rng.standard_normal((b, h, s, 2 * dh)), jnp.float32)
-    labels = jnp.zeros((b, s), jnp.int32)
-    extra = jnp.zeros((b, g_, s), bool)
+def test_ca_kernels_with_dropout_mask_match_chunked(rng):
+    """Forward + flash-backward kernels with the token-dropout extra_mask
+    (interpret mode) vs the chunked path -- the training configuration
+    (reference trains with mem_dropout 0.1)."""
+    from must3r_tpu.ops.attention import (
+        _ca_bwd_dkv_pallas,
+        _ca_bwd_dq_pallas,
+        _ca_chunked,
+        _ca_pallas,
+    )
 
-    def f(q, kv):
-        out = memory_cross_attention(q, kv, labels, extra_mask=extra,
-                                     impl="pallas")
-        return jnp.sum(out)
+    b, g, n, h, dh, s = 1, 2, 8, 2, 32, 32
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    kv5 = jnp.asarray(rng.standard_normal((1, b, h, s, 2 * dh)),
+                      jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 3, size=(b, s)), jnp.int32)
+    extra = jnp.asarray(rng.random((b, g, s)) < 0.3)
+    q_self = jnp.full((b, g), -2, jnp.int32)
+    q_upper = jnp.full((b, g), INT32_MAX, jnp.int32)
+    layer = jnp.int32(0)
+    g_out = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
 
-    dq, dkv = jax.grad(f, argnums=(0, 1))(q, kv)
-    assert np.isfinite(np.asarray(dq)).all()
-    assert float(jnp.abs(dkv).sum()) > 0
+    k, v = jnp.split(kv5[0], 2, axis=-1)
+
+    def f(q_, k_, v_):
+        return _ca_chunked(q_, k_, v_, labels, q_self, q_upper,
+                           extra_mask=extra)
+
+    out_ref, vjp = jax.vjp(f, q, k, v)
+    dq_want, dk_want, dv_want = vjp(g_out)
+
+    ext = extra.astype(jnp.int32)
+    out, lse = _ca_pallas(q, kv5, labels, q_self, q_upper, jnp.int32(s),
+                          layer, block_k=16, block_q=8, interpret=True,
+                          return_stats=True, ext=ext)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+    delta = jnp.sum(g_out * out, axis=-1).transpose(0, 1, 3, 2)[..., None]
+    dq = _ca_bwd_dq_pallas(q, kv5, labels, q_self, q_upper, jnp.int32(s),
+                           layer, lse, delta, g_out, block_k=16,
+                           block_q=8, interpret=True, ext=ext)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_want),
+                               rtol=2e-4, atol=2e-5)
+    dkv = _ca_bwd_dkv_pallas(q, kv5, labels, q_self, q_upper, jnp.int32(s),
+                             layer, lse, delta, g_out, block_k=16,
+                             block_q=8, interpret=True, ext=ext)
+    np.testing.assert_allclose(np.asarray(dkv[..., :dh]),
+                               np.asarray(dk_want), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dkv[..., dh:]),
+                               np.asarray(dv_want), rtol=2e-4, atol=2e-5)
 
 
 def test_drop_path():
@@ -348,3 +379,63 @@ def test_color_jitter_hue_roundtrip():
     rgb = rng.random((64, 3)).astype(np.float32)
     back = _hsv_to_rgb(_rgb_to_hsv(rgb))
     np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+
+def test_ca_flash_backward_kernels_match_chunked_vjp(rng):
+    """The dedicated flash-backward kernels (dQ + dK/dV, interpret mode)
+    must reproduce the XLA chunked path's gradients, including label
+    masks, causal bounds, live-length truncation and query padding."""
+    from must3r_tpu.ops.attention import (
+        _ca_bwd_dkv_pallas,
+        _ca_bwd_dq_pallas,
+        _ca_chunked_from_packed,
+        _ca_pallas,
+    )
+
+    b, g, n, h, dh, s = 1, 2, 12, 2, 32, 64   # n=12 forces q-row padding
+    live = 48
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    kv5 = jnp.asarray(rng.standard_normal((3, b, h, s, 2 * dh)),
+                      jnp.float32)
+    labels = np.full((b, s), -1, np.int32)
+    labels[:, :live] = rng.integers(0, 4, size=(b, live))
+    labels = jnp.asarray(labels)
+    q_self = jnp.asarray([[1, -2]], jnp.int32)
+    q_upper = jnp.asarray([[3, INT32_MAX]], jnp.int32)
+    layer = jnp.int32(1)
+    kv_len = jnp.int32(live)
+    g_out = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+
+    # golden gradients through the chunked path
+    def f(q_, kv_):
+        return _ca_chunked_from_packed(q_, kv_, labels, q_self, q_upper,
+                                       layer)
+
+    out_ref, vjp = jax.vjp(f, q, kv5)
+    dq_want, dkv5_want = vjp(g_out)
+
+    out, lse = _ca_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer,
+                          block_k=16, block_q=8, interpret=True,
+                          return_stats=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+    delta = jnp.sum(g_out * out, axis=-1).transpose(0, 1, 3, 2)[..., None]
+    row_pad = lse.shape[3] - delta.shape[3]
+    if row_pad:
+        delta = jnp.pad(delta,
+                        ((0, 0), (0, 0), (0, 0), (0, row_pad), (0, 0)))
+
+    dq = _ca_bwd_dq_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer,
+                           lse, delta, g_out, block_k=16, block_q=8,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_want),
+                               rtol=2e-4, atol=2e-5)
+
+    dkv = _ca_bwd_dkv_pallas(q, kv5, labels, q_self, q_upper, kv_len,
+                             layer, lse, delta, g_out, block_k=16,
+                             block_q=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(dkv),
+                               np.asarray(dkv5_want[1]),
+                               rtol=2e-4, atol=2e-5)
+    # other layers of the cache receive no gradient
+    assert float(jnp.abs(dkv5_want[0]).max()) == 0.0

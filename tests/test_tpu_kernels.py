@@ -123,3 +123,52 @@ def test_full_decoder_pallas_vs_xla_on_tpu():
         outs[impl] = np.asarray(toks.astype(jnp.float32))
     err = np.abs(outs["pallas"] - outs["chunked"]).max()
     assert err < 0.1, err   # bf16 accumulation-order tolerance
+
+
+def test_ca_flash_backward_matches_chunked_on_tpu():
+    """Compiled flash-backward kernels (dQ + dK/dV) vs the XLA chunked
+    VJP on hardware, bf16 inputs, flagship head_dim."""
+    from must3r_tpu.ops.attention import (
+        INT32_MAX,
+        _ca_chunked_from_packed,
+        memory_cross_attention,
+    )
+
+    b, g, n, h, dh, s = 1, 2, 196, 4, 64, 1024
+    live = 800
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.bfloat16)
+    kv5 = jnp.asarray(rng.standard_normal((2, b, h, s, 2 * dh)),
+                      jnp.bfloat16)
+    labels = np.full((b, s), -1, np.int32)
+    labels[:, :live] = rng.integers(0, 4, size=(b, live))
+    labels = jnp.asarray(labels)
+    q_self = jnp.asarray([[1, -2]], jnp.int32)
+    q_upper = jnp.asarray([[3, INT32_MAX]], jnp.int32)
+    layer = jnp.int32(1)
+
+    def f_pallas(q_, kv_):
+        o = memory_cross_attention(q_, kv_, labels, q_self=q_self,
+                                   q_upper=q_upper,
+                                   kv_len=jnp.int32(live), layer=layer,
+                                   impl="pallas")
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def f_chunked(q_, kv_):
+        o = _ca_chunked_from_packed(q_, kv_, labels, q_self, q_upper,
+                                    layer)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    dq_p, dkv_p = jax.jit(jax.grad(f_pallas, argnums=(0, 1)))(q, kv5)
+    dq_c, dkv_c = jax.jit(jax.grad(f_chunked, argnums=(0, 1)))(q, kv5)
+    np.testing.assert_allclose(np.asarray(dq_p, np.float32),
+                               np.asarray(dq_c, np.float32),
+                               rtol=0.1, atol=0.02)
+    np.testing.assert_allclose(np.asarray(dkv_p, np.float32),
+                               np.asarray(dkv_c, np.float32),
+                               rtol=0.1, atol=0.02)
+    # cosine similarity is the meaningful bf16 metric
+    for a, b_ in ((dq_p, dq_c), (dkv_p, dkv_c)):
+        af = np.asarray(a, np.float32).ravel()
+        bf = np.asarray(b_, np.float32).ravel()
+        cos = af @ bf / max(np.linalg.norm(af) * np.linalg.norm(bf), 1e-12)
+        assert cos > 0.999, cos
