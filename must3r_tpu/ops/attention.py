@@ -499,7 +499,8 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
     # are pre-tiled as [rows, 1, bk] so DMA slices address only the
     # untiled major dim -- Mosaic rejects sub-tile row slices.)
     bk, bq, n_qb, q_pad, len_and_layer, labels_tiled = _ca_prep(
-        q, kv, labels, kv_len, layer, block_k, block_q)
+        q, kv, labels, kv_len, layer, block_k, block_q,
+        align128=return_stats)
     scale = 1.0 / math.sqrt(dh)
 
     qt = q.transpose(0, 1, 3, 2, 4)  # B,G,H,N,Dh
@@ -670,19 +671,29 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
 # of the chunked scan stored ~50 MB of p per (layer, step) residual.
 # ---------------------------------------------------------------------------
 
-def _ca_prep(q, kv, labels, kv_len, layer, block_k, block_q):
-    """Shared layout plumbing for the CA kernels."""
+def _ca_prep(q, kv, labels, kv_len, layer, block_k, block_q,
+             align128: bool = True):
+    """Shared layout plumbing for the CA kernels.
+
+    align128 rounds the query block up to a lane multiple (the backward
+    kernels DMA (1, bq) stat rows, which need 128-lane alignment); the
+    stats-free serving forward passes align128=False so e.g. the 224
+    bucket (196 tokens) runs unpadded (block == array dim is tile-legal
+    for the BlockSpec-managed buffers)."""
     b, g, n, h, dh = q.shape
     s_cap = kv.shape[3]
     if block_q is None:
         block_q = 1024 if n <= 1024 else 512
     if block_k is None:
-        block_k = 1024 if (n <= 1024 and s_cap % 1024 == 0) else 512
+        # big KV blocks pay off when the loop is long (few-view memories
+        # would DMA mostly-dead slots: the minimum read is one block)
+        block_k = 1024 if (n <= 1024 and s_cap >= 4096
+                           and s_cap % 1024 == 0) else 512
     bk = min(block_k, s_cap)
     assert s_cap % bk == 0, (s_cap, bk)
     # lane-aligned q blocks (Mosaic tiling): round the block up to a
     # multiple of 128; the query axis is zero-padded to n_qb*bq
-    bq = min(block_q, -(-n // 128) * 128)
+    bq = min(block_q, -(-n // 128) * 128) if align128 else min(block_q, n)
     n_qb = -(-n // bq)
     q_pad = n_qb * bq - n
     len_and_layer = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
