@@ -207,7 +207,8 @@ def bench_train_step():
 
     from must3r_tpu.config import must3r_224_configs
     from must3r_tpu.engine.train import (TrainSettings, cosine_schedule,
-                                         make_optimizer, make_train_step)
+                                         make_optimizer, make_train_step,
+                                         trainable_subset)
     from must3r_tpu.models import init_decoder, init_encoder
     from must3r_tpu.ops.patch import patchify_positions
 
@@ -220,7 +221,7 @@ def bench_train_step():
     params = {"encoder": init_encoder(k1, enc_cfg),
               "decoder": init_decoder(k2, dec_cfg)}
     opt = make_optimizer(cosine_schedule(1e-4, 10, 1000), weight_decay=0.05)
-    opt_state = opt.init(params)
+    opt_state = opt.init(trainable_subset(params, ts))
     step = make_train_step(enc_cfg, dec_cfg, ts, opt)
 
     b, v, hw = 1, 20, 224

@@ -153,8 +153,12 @@ def main(argv=None):
         print_freq=args.print_freq, seed=args.seed,
         output_dir=args.output_dir)
 
+    # --batch_size is PER PROCESS and is *sharded* (not replicated) over
+    # this process's local devices, so the true global batch is
+    # batch_size * process_count — NOT * device_count (which would
+    # overscale lr ~4x on multi-chip hosts).
     trainer = Trainer(enc_cfg, dec_cfg, params, loader, cfg, ts,
-                      n_devices=jax.device_count(), mesh=mesh)
+                      n_devices=process_count(), mesh=mesh)
     stats = trainer.train()
     print("final:", stats)
 

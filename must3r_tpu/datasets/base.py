@@ -255,10 +255,9 @@ class BatchedRandomSampler:
         self.epoch = epoch
 
     def __len__(self):
-        per = self.batch_size * (
+        return self.batch_size * (
             (self.total_size + self.world_size * self.batch_size - 1)
             // (self.world_size * self.batch_size))
-        return min(per, self.total_size)
 
     def __iter__(self):
         rng = np.random.default_rng(seed=self.epoch + 777)
@@ -271,6 +270,12 @@ class BatchedRandomSampler:
         per = self.batch_size * (
             (self.total_size + self.world_size * self.batch_size - 1)
             // (self.world_size * self.batch_size))
+        # Pad by wrapping so every rank yields exactly `per` samples even
+        # when total_size % (world_size*batch_size) != 0 — otherwise later
+        # ranks run fewer steps and the jitted global-batch step deadlocks
+        # (torch DistributedSampler pads the same way).
+        if len(sample_idxs) < self.world_size * per:
+            sample_idxs = np.resize(sample_idxs, self.world_size * per)
         if self.world_size > 1:
             # The per-rank slices form ONE global batch per step under
             # GSPMD, so the feature draws must be identical across ranks

@@ -203,14 +203,24 @@ class LiveViewer:
             self._version += 1
             self._snapshot = _pack_snapshot(self._version, pts, cols, cams)
 
-    def update_callback(self, imgs=None, conf_thr: float = 1.5):
+    def update_callback(self, imgs=None, conf_thr: float = 1.5,
+                        imgs_normalized: bool = True):
         """Build an `on_update(ids, partial)` hook for
         `offline_reconstruction`: accumulates each memory batch's
         confidence-filtered points (the viser `set_views` role,
         reference inference.py:448-449).
 
-        imgs: optional [V, H, W, 3] normalized images for true colors;
-        without them points are colored by confidence."""
+        imgs: optional [V, H, W, 3] images for true colors; without them
+        points are colored by confidence. imgs_normalized says whether
+        they are ImgNorm'd ([-1,1]); the caller knows, so we denormalize
+        here explicitly rather than letting set_views guess the range
+        from the sampled pixel values (a bright crop can be all >= 0 and
+        would render half-brightness)."""
+        if imgs is not None and np.asarray(imgs).dtype != np.uint8:
+            a = np.asarray(imgs, np.float32)
+            if imgs_normalized:
+                a = a * 0.5 + 0.5
+            imgs = (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
         acc_pts, acc_cols, acc_cams = [], [], []
 
         def on_update(ids, partial):

@@ -235,7 +235,8 @@ class Trainer:
         if cfg.accum_iter > 1:
             opt = optax.MultiSteps(opt, every_k_schedule=cfg.accum_iter)
         self.optimizer = opt
-        self.opt_state = opt.init(params)
+        from must3r_tpu.engine.train import trainable_subset
+        self.opt_state = opt.init(trainable_subset(params, ts))
         if mesh is not None:
             from must3r_tpu.parallel import replicate
             self.params = replicate(mesh, self.params)

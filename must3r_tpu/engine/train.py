@@ -76,9 +76,15 @@ def make_forward(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
         b, v, h, w, _ = imgs.shape
         n = pos.shape[2]
 
+        # compute dtype follows ts.dtype (bf16 production). The reference
+        # forces the encoder to fp32 under CUDA AMP (encoder.py:46-52) for
+        # fp16-overflow safety; TPU bf16 keeps the fp32 exponent range and
+        # accumulates matmuls in fp32, and serving already runs the
+        # encoder in bf16 -- training in bf16 matches the dtype the
+        # weights will be used at. fp32 (ts.dtype) remains the parity mode.
         x = encoder_forward(params["encoder"], enc_cfg,
                             imgs.reshape(b * v, h, w, 3),
-                            pos.reshape(b * v, n, 2),
+                            pos.reshape(b * v, n, 2), dtype=dtype,
                             remat=ts.remat and ts.finetune_encoder,
                             impl=impl)
         if not ts.finetune_encoder:
@@ -258,23 +264,39 @@ def effective_lr(blr: float, batch_size: int, n_devices: int = 1,
 # Train step
 # ---------------------------------------------------------------------------
 
+def trainable_subset(params, ts: TrainSettings):
+    """The subtree the optimizer owns. With a frozen encoder only the
+    decoder is differentiated and carried in opt_state -- the encoder
+    gets no gradient buffer, no Adam moments and no update math (the
+    torch reference likewise skips grad-less params)."""
+    if ts.finetune_encoder:
+        return params
+    return {"decoder": params["decoder"]}
+
+
 def make_train_step(enc_cfg, dec_cfg, ts: TrainSettings, optimizer,
                     impl: Optional[str] = None, donate: bool = True):
     """One SGD step. Shard batch['...'] leading axis over the mesh 'dp' axis
-    and keep params replicated; jit + GSPMD handle the gradient psum."""
+    and keep params replicated; jit + GSPMD handle the gradient psum.
+
+    opt_state must be ``optimizer.init(trainable_subset(params, ts))``.
+    """
     loss_fn = make_loss_fn(enc_cfg, dec_cfg, ts, impl=impl)
 
     def step(params, opt_state, batch, rng):
+        if ts.finetune_encoder:
+            train_p, frozen = params, {}
+        else:
+            train_p = {"decoder": params["decoder"]}
+            frozen = {"encoder": params["encoder"]}
+
+        def lf(tp):
+            return loss_fn({**tp, **frozen}, batch, rng)
+
         (loss, details), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch, rng)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        if not ts.finetune_encoder:
-            # frozen encoder: zero the *updates* (also suppresses weight
-            # decay, matching torch's skip of grad-less params)
-            updates = {**updates,
-                       "encoder": jax.tree.map(jnp.zeros_like,
-                                               updates["encoder"])}
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, details
+            lf, has_aux=True)(train_p)
+        updates, opt_state = optimizer.update(grads, opt_state, train_p)
+        train_p = optax.apply_updates(train_p, updates)
+        return {**train_p, **frozen}, opt_state, loss, details
 
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())

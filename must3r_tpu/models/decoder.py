@@ -183,38 +183,61 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
     q_self = jnp.broadcast_to(q_self[None], (b, g))
     q_upper = jnp.broadcast_to(q_upper[None], (b, g))
 
-    def body(carry, inp):
-        x, kv_buf = carry
-        blk, li = inp
+    # The layer scan carries ONLY x. The full KV cache enters as scan xs
+    # (per-layer slices, no copy) and the per-layer new tokens come back
+    # as stacked ys, written into the cache with ONE dynamic_update_slice
+    # after the scan. Carrying the whole [L, B, H, S, 2Dh] buffer instead
+    # (the round-1/2 design) made jax.checkpoint save it once PER LAYER
+    # for the backward (~1.8 GB of HBM traffic per update step at
+    # flagship training shapes) and was the main cause of the ~12%
+    # training MFU (VERDICT r2; docs/PERF.md round-3 trace).
+    def body(x, inp):
+        blk, kv_l, li = inp
         raw = x.reshape(b, t_new, cfg.embed_dim)
         new_kv = prepare_kv(blk, raw, cfg.num_heads, cfg.ln_eps)
-        kv_buf = jax.lax.dynamic_update_slice(
-            kv_buf, new_kv[None].astype(kv_buf.dtype), (li, 0, 0, start, 0))
-        x = decoder_block(blk, x, kv_buf, rope, labels, q_self=q_self,
+        kv_att = jax.lax.dynamic_update_slice(
+            kv_l, new_kv.astype(kv_l.dtype), (0, 0, start, 0))
+        x = decoder_block(blk, x, kv_att, rope, labels, q_self=q_self,
                           q_upper=q_upper, kv_len=kv_len,
-                          extra_mask=extra_mask, layer=li,
+                          extra_mask=extra_mask, layer=None,
                           num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
                           impl=impl, mesh=mesh)
-        return (x, kv_buf), raw
+        return x, (raw, new_kv)
 
     if remat:
-        body = jax.checkpoint(body)
+        # remat=True/'full': recompute the whole block in the backward.
+        # remat='dots': save matmul outputs, recompute only elementwise
+        # (cheaper backward, moderately larger residuals).
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat == "dots" else None)
+        body = jax.checkpoint(body, policy=policy)
 
     if unroll_layers:
-        # python-level layer loop: keeps the big KV buffer OUT of a
-        # lax.scan carry -- XLA's while-loop carries cost one full-buffer
-        # copy per call, which dominates streaming (G=1) latency for
-        # large memories. Compile time grows ~depth x; use for serving.
+        # python-level layer loop (serving): reads DMA straight out of the
+        # persistent HBM cache via the in-kernel layer index -- no
+        # per-layer slice copies at all. Compile time grows ~depth x.
         kv_buf = mem.kv
         raws_l = []
         for li in range(depth):
             blk = _block_slice(params["blocks"], li)
-            (x, kv_buf), raw = body((x, kv_buf), (blk, jnp.int32(li)))
+            raw = x.reshape(b, t_new, cfg.embed_dim)
+            new_kv = prepare_kv(blk, raw, cfg.num_heads, cfg.ln_eps)
+            kv_buf = jax.lax.dynamic_update_slice(
+                kv_buf, new_kv[None].astype(kv_buf.dtype),
+                (li, 0, 0, start, 0))
+            x = decoder_block(blk, x, kv_buf, rope, labels, q_self=q_self,
+                              q_upper=q_upper, kv_len=kv_len,
+                              extra_mask=extra_mask, layer=jnp.int32(li),
+                              num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
+                              impl=impl, mesh=mesh)
             raws_l.append(raw)
         raws = jnp.stack(raws_l)
+        new_kvs = None
     else:
-        (x, kv_buf), raws = jax.lax.scan(
-            body, (x, mem.kv), (params["blocks"], jnp.arange(depth)))
+        x, (raws, new_kvs) = jax.lax.scan(
+            body, x, (params["blocks"], mem.kv,
+                      jnp.arange(depth)))
+        kv_buf = None
 
     if cfg.feedback != FeedbackType.NONE and "feedback" in params:
         offset = _feedback_offset(params, cfg, raws[-1])
@@ -222,8 +245,15 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
         new_kv = jax.vmap(
             lambda blk, r: prepare_kv(blk, r, cfg.num_heads, cfg.ln_eps))(
             _block_slice(params["blocks"], slice(0, depth - 1)), adj)
+        if new_kvs is None:
+            kv_buf = jax.lax.dynamic_update_slice(
+                kv_buf, new_kv.astype(kv_buf.dtype), (0, 0, 0, start, 0))
+        else:
+            new_kvs = jnp.concatenate(
+                [new_kv.astype(new_kvs.dtype), new_kvs[-1:]], axis=0)
+    if kv_buf is None:
         kv_buf = jax.lax.dynamic_update_slice(
-            kv_buf, new_kv.astype(kv_buf.dtype), (0, 0, 0, start, 0))
+            mem.kv, new_kvs.astype(mem.kv.dtype), (0, 0, 0, start, 0))
 
     new_mem = MemoryState(kv=kv_buf, labels=labels, length=kv_len,
                           n_imgs=mem.n_imgs,

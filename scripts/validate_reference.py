@@ -287,8 +287,8 @@ def write_report(results, out_path):
         " `MUSt3R_512.pth` cannot be fetched in this environment; when it"
         " is available, rerun with `--ckpt` (the converter is identical).",
         "",
-        "Fixture outputs are stored in float16 (adds ~1e-3 relative"
-        " quantization to the comparison floor). 'fp32' rows measure"
+        "Fixture outputs are stored in float32 (no quantization floor"
+        " added by storage). 'fp32' rows measure"
         " converter+pipeline parity (matmuls forced to true fp32 — at"
         " DEFAULT precision XLA computes fp32 matmuls with bf16 passes);"
         " 'bfloat16' rows measure the production compute path. Pointmap"

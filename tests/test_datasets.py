@@ -103,6 +103,27 @@ def test_batched_sampler_constant_features_within_batch():
     assert not (set(a) & set(b))
 
 
+def test_batched_sampler_uneven_shards_padded():
+    # epoch 100 samples, bs 4, ws 2: 100/(2*4) is uneven -> ranks must
+    # still yield the SAME number of samples (wrap padding, like torch's
+    # DistributedSampler) or the jitted global-batch step deadlocks.
+    ds = SyntheticScenes(num_views=4, resolutions=((64, 48),),
+                         epoch_size=100, min_memory_num_views=2,
+                         max_memory_num_views=4)
+    samplers = [BatchedRandomSampler(ds, 4, world_size=2, rank=r)
+                for r in range(2)]
+    for s in samplers:
+        s.set_epoch(3)
+    a, b = (list(s) for s in samplers)
+    assert len(a) == len(b) == len(samplers[0]) == 52
+    # per-step features identical across ranks (one global batch/step)
+    for i in range(0, 52, 4):
+        feats = {(t[1], t[2]) for t in a[i:i + 4] + b[i:i + 4]}
+        assert len(feats) == 1
+    # padding wraps sample indices but every real sample is still seen
+    assert {t[0] for t in a} | {t[0] for t in b} == set(range(100))
+
+
 def test_dataset_algebra():
     d1 = SyntheticScenes(num_views=2, resolutions=((64, 48),), epoch_size=4)
     d2 = SyntheticScenes(num_views=2, resolutions=((64, 48),), epoch_size=6)

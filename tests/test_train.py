@@ -16,6 +16,7 @@ from must3r_tpu.engine.train import (
     make_loss_fn,
     make_optimizer,
     make_train_step,
+    trainable_subset,
 )
 from must3r_tpu.models import init_decoder, init_encoder
 from must3r_tpu.ops.dropout import permanent_dropout_masks, temporary_dropout_mask
@@ -138,7 +139,7 @@ def test_train_step_decreases_loss(rng):
     sched = cosine_schedule(1e-3, warmup_steps=1, total_steps=50)
     opt = make_optimizer(sched, weight_decay=0.0)
     step = make_train_step(ENC_CFG, DEC_CFG, ts, opt, impl="chunked")
-    opt_state = opt.init(params)
+    opt_state = opt.init(trainable_subset(params, ts))
     batch = _make_batch(rng, b=2, v=4)
     key = jax.random.PRNGKey(0)
     losses = []
@@ -166,7 +167,7 @@ def test_train_step_on_dp_mesh(rng):
     opt = make_optimizer(cosine_schedule(1e-3, 1, 50), weight_decay=0.0)
     step = make_train_step(ENC_CFG, DEC_CFG, ts, opt, impl="chunked",
                            donate=False)
-    opt_state = opt.init(params)
+    opt_state = opt.init(trainable_subset(params, ts))
     batch = _make_batch(rng, b=8, v=3)
     batch["render_ids"] = jnp.asarray([2], jnp.int32)
 
