@@ -54,9 +54,12 @@ def save_checkpoint(path: str, params, enc_cfg: EncoderConfig,
     tree = {"params": params}
     if opt_state is not None:
         tree["opt_state"] = opt_state
+    # multi-process: every rank must enter (orbax barriers internally);
+    # orbax writes replicated/host-local data from the primary host only
     ckptr.save(os.path.join(path, "state"), tree, force=True)
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
 
 
 def load_checkpoint(path: str, template=None):
@@ -262,6 +265,116 @@ def init_from_dust3r(path: str, enc_cfg: EncoderConfig,
         dec_loaded += 1
     return params, {"encoder_loaded": enc_loaded,
                     "decoder_parts_loaded": dec_loaded}
+
+
+# ---------------------------------------------------------------------------
+# Export: our pytree -> reference torch state dicts (the inverse of the
+# converters above). Proves the key mapping both ways -- when the published
+# MUSt3R_512.pth arrives, import->export->import round-trips bit-exactly
+# (tests/test_checkpoint.py) -- and lets TPU-trained weights run in the
+# reference codebase (reference load path: model/__init__.py:30-48).
+# ---------------------------------------------------------------------------
+
+def _unstack(blocks, depth: int):
+    return [jax.tree.map(lambda a: np.asarray(a[i]), blocks)
+            for i in range(depth)]
+
+
+def _exp_lin(sd, prefix, p):
+    sd[prefix + ".weight"] = np.asarray(p["w"]).T.copy()
+    if "b" in p:
+        sd[prefix + ".bias"] = np.asarray(p["b"]).copy()
+
+
+def _exp_ln(sd, prefix, p):
+    sd[prefix + ".weight"] = np.asarray(p["scale"]).copy()
+    sd[prefix + ".bias"] = np.asarray(p["bias"]).copy()
+
+
+def _exp_mlp(sd, prefix, p):
+    _exp_lin(sd, prefix + ".fc1", p["fc1"])
+    _exp_lin(sd, prefix + ".fc2", p["fc2"])
+
+
+def export_encoder_state_dict(params, cfg: EncoderConfig) -> Dict[str, Any]:
+    """Encoder pytree -> reference `Dust3rEncoder` state-dict (numpy)."""
+    sd: Dict[str, Any] = {}
+    w = np.asarray(params["patch_embed"]["w"])      # [3*P*P, D]
+    p_sz = cfg.patch_size
+    sd["patch_embed.proj.weight"] = w.T.reshape(
+        cfg.embed_dim, 3, p_sz, p_sz).copy()
+    sd["patch_embed.proj.bias"] = np.asarray(params["patch_embed"]["b"])
+    for i, blk in enumerate(_unstack(params["blocks"], cfg.depth)):
+        p = f"blocks_enc.{i}"
+        _exp_ln(sd, f"{p}.norm1", blk["norm1"])
+        _exp_lin(sd, f"{p}.attn.qkv", blk["attn"]["qkv"])
+        _exp_lin(sd, f"{p}.attn.proj", blk["attn"]["proj"])
+        _exp_ln(sd, f"{p}.norm2", blk["norm2"])
+        _exp_mlp(sd, f"{p}.mlp", blk["mlp"])
+    _exp_ln(sd, "norm_enc", params["norm"])
+    return sd
+
+
+def export_decoder_state_dict(params, cfg: DecoderConfig) -> Dict[str, Any]:
+    """Decoder pytree -> reference `MUSt3R` state-dict (numpy)."""
+    sd: Dict[str, Any] = {}
+    _exp_lin(sd, "feat_embed_enc_to_dec", params["feat_embed"])
+    sd["image2_embed"] = np.asarray(
+        params["image2_embed"]).reshape(1, 1, -1).copy()
+    for i, blk in enumerate(_unstack(params["blocks"], cfg.depth)):
+        p = f"blocks_dec.{i}"
+        _exp_ln(sd, f"{p}.norm1", blk["norm1"])
+        _exp_lin(sd, f"{p}.attn.qkv", blk["attn"]["qkv"])
+        _exp_lin(sd, f"{p}.attn.proj", blk["attn"]["proj"])
+        _exp_ln(sd, f"{p}.norm2", blk["norm2"])
+        _exp_ln(sd, f"{p}.norm_y", blk["norm_y"])
+        _exp_lin(sd, f"{p}.cross_attn.projq", blk["projq"])
+        _exp_lin(sd, f"{p}.cross_attn.projk", blk["projk"])
+        _exp_lin(sd, f"{p}.cross_attn.projv", blk["projv"])
+        _exp_lin(sd, f"{p}.cross_attn.proj", blk["proj_ca"])
+        _exp_ln(sd, f"{p}.norm3", blk["norm3"])
+        _exp_mlp(sd, f"{p}.mlp", blk["mlp"])
+    _exp_ln(sd, "norm_dec", params["norm_dec"])
+    _exp_lin(sd, "head_dec.proj", params["head_proj"])
+    if "feedback" in params:
+        if "fc1" in params["feedback"]:
+            _exp_mlp(sd, "feedback_layer", params["feedback"])
+        else:
+            _exp_lin(sd, "feedback_layer", params["feedback"])
+        _exp_ln(sd, "feedback_norm", params["feedback_norm"])
+    return sd
+
+
+def export_torch_checkpoint(path: str, params, enc_cfg: EncoderConfig,
+                            dec_cfg: DecoderConfig, epoch: int = 0):
+    """Write a reference-compatible `.pth`: torch tensors + the constructor
+    strings the reference `load_model` eval()s (model/__init__.py:30-39).
+    Loadable both by the reference codebase and by our
+    `convert_torch_checkpoint`."""
+    import argparse
+
+    import torch
+
+    from must3r_tpu.config import (
+        decoder_config_to_arg_string,
+        encoder_config_to_arg_string,
+    )
+
+    def to_torch(sd):
+        return {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}
+
+    ckpt = {
+        "encoder": to_torch(export_encoder_state_dict(
+            params["encoder"], enc_cfg)),
+        "decoder": to_torch(export_decoder_state_dict(
+            params["decoder"], dec_cfg)),
+        "args": argparse.Namespace(
+            encoder=encoder_config_to_arg_string(enc_cfg),
+            decoder=decoder_config_to_arg_string(dec_cfg)),
+        "epoch": epoch,
+    }
+    torch.save(ckpt, path)
 
 
 def convert_torch_checkpoint(path: str, img_size: Optional[int] = None

@@ -9,6 +9,19 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_compile_cache():
+    """Persistent XLA compilation cache shared by every entry point
+    (bench.py, CLIs, scripts/prewarm.py): each program compiles once per
+    machine; later cold starts replay from disk in seconds instead of
+    minutes of (remote) compiles. Override the location with
+    $MUST3R_CACHE_DIR; disable with MUST3R_CACHE_DIR=''."""
+    cache = os.environ.get("MUST3R_CACHE_DIR",
+                           os.path.expanduser("~/.cache/jax_must3r"))
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def load_or_init_model(chkpt: Optional[str], preset: str = "512",
                        img_size: Optional[int] = None, seed: int = 0):
     """Load a checkpoint (native dir or reference .pth) or random-init a

@@ -29,7 +29,9 @@ def get_args_parser():
 
 def main(argv=None):
     args = get_args_parser().parse_args(argv)
-    from must3r_tpu.cli.common import load_or_init_model, make_core
+    from must3r_tpu.cli.common import (enable_compile_cache,
+                                       load_or_init_model, make_core)
+    enable_compile_cache()
     from must3r_tpu.cli.train_cli import build_dataset
     from must3r_tpu.datasets import get_data_loader
     from must3r_tpu.engine.evaluate import evaluate

@@ -51,7 +51,9 @@ def get_args_parser():
 
 def main(argv=None):
     args = get_args_parser().parse_args(argv)
-    from must3r_tpu.cli.common import load_or_init_model, make_core
+    from must3r_tpu.cli.common import (enable_compile_cache,
+                                       load_or_init_model, make_core)
+    enable_compile_cache()
     from must3r_tpu.demo import must3r_inference, scene_to_glb, scene_to_ply
     from must3r_tpu.tools.viz import scene_to_html
     from must3r_tpu.tools.image import list_images, load_images
@@ -111,8 +113,13 @@ def main(argv=None):
             encode_bs=args.max_bs, render_bs=args.max_bs, verbose=True,
             on_update=on_update)
         if viewer is not None:
+            # switch the viewer to interactive post-hoc mode: the page's
+            # conf-threshold slider / keyframes-only toggle re-filter the
+            # finished SceneState without re-inference
+            viewer.serve_scene(scene)
             if args.live_hold > 0:
-                print(f"viewer at {viewer.url} for {args.live_hold:g}s")
+                print(f"viewer at {viewer.url} for {args.live_hold:g}s "
+                      "(interactive re-thresholding)")
                 time.sleep(args.live_hold)
             viewer.close()
 

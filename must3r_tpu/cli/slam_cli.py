@@ -77,7 +77,9 @@ def main(argv=None):
     import jax.numpy as jnp
 
     args = get_args_parser().parse_args(argv)
-    from must3r_tpu.cli.common import load_or_init_model
+    from must3r_tpu.cli.common import (enable_compile_cache,
+                                       load_or_init_model)
+    enable_compile_cache()
     from must3r_tpu.slam import Must3rSLAM, SlamConfig
     from must3r_tpu.slam.data import AutoMultiLoader
 

@@ -113,7 +113,9 @@ def main(argv=None):
     multi = init_distributed(args.coordinator, args.num_processes,
                              args.process_id)
 
-    from must3r_tpu.cli.common import load_or_init_model
+    from must3r_tpu.cli.common import (enable_compile_cache,
+                                       load_or_init_model)
+    enable_compile_cache()
     import dataclasses as dc
 
     from must3r_tpu.datasets import get_data_loader

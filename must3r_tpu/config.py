@@ -253,6 +253,41 @@ def decoder_config_from_arg_string(s: str) -> DecoderConfig:
     )
 
 
+def encoder_config_to_arg_string(cfg: EncoderConfig) -> str:
+    """Inverse of :func:`encoder_config_from_arg_string` -- emits the
+    reference constructor string stored in `.pth` checkpoints
+    (reference model/__init__.py:30-39 eval()s these at load)."""
+    return (f"Dust3rEncoder(img_size={tuple(cfg.img_size)}, "
+            f"patch_size={cfg.patch_size}, embed_dim={cfg.embed_dim}, "
+            f"depth={cfg.depth}, num_heads={cfg.num_heads}, "
+            f"mlp_ratio={cfg.mlp_ratio:g}, "
+            f"pos_embed='{cfg.rope.spec_string()}')")
+
+
+def decoder_config_to_arg_string(cfg: DecoderConfig) -> str:
+    """Inverse of :func:`decoder_config_from_arg_string`; the class name
+    follows ``cfg.causal`` (CausalMUSt3R = training semantics)."""
+    name = "CausalMUSt3R" if cfg.causal else "MUSt3R"
+    parts = [
+        f"img_size={tuple(cfg.img_size)}",
+        f"enc_embed_dim={cfg.enc_embed_dim}",
+        f"patch_size={cfg.patch_size}",
+        f"embed_dim={cfg.embed_dim}",
+        f"output_dim={cfg.output_dim}",
+        f"depth={cfg.depth}",
+        f"num_heads={cfg.num_heads}",
+        f"mlp_ratio={cfg.mlp_ratio:g}",
+        f"pos_embed='{cfg.rope.spec_string()}'",
+        f"landscape_only={cfg.landscape_only}",
+        f"memory_mode='{cfg.memory_mode.value}'",
+        f"pointmaps_activation='{cfg.pointmaps_activation.value}'",
+        f"protected_imgs={cfg.protected_imgs}",
+    ]
+    if cfg.feedback != FeedbackType.NONE:
+        parts.append(f"feedback_type='{cfg.feedback.value}'")
+    return f"{name}({', '.join(parts)})"
+
+
 def set_image_size(cfg, img_size: int):
     """Resolution transfer: rewrite img_size and install adaptive RoPE
     (reference: model/__init__.py:66-108). The RoPE base grid is the

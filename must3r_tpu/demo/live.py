@@ -37,12 +37,23 @@ _PAGE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>must3r-tpu live</title>
 <style>html,body{margin:0;height:100%;background:#111;overflow:hidden}
 canvas{display:block}#hud{position:fixed;top:8px;left:8px;color:#9a9;
-font:12px monospace}</style></head><body>
+font:12px monospace}
+#ctl{position:fixed;top:8px;right:8px;color:#9a9;font:12px monospace;
+background:#1c1c1cd0;padding:8px 10px;border-radius:6px}
+#ctl input[type=range]{width:110px;vertical-align:middle}
+#ctl label{display:block;margin:3px 0}</style></head><body>
 <div id="hud">must3r-tpu live &middot; waiting for data&hellip;</div>
+<div id="ctl">
+<label>conf thr <input id="thr" type="range" min="1" max="10" step="0.1"
+ value="1.5"> <span id="thrv">1.5</span></label>
+<label>point px <input id="psz" type="range" min="1" max="5" step="1"
+ value="1"> <span id="pszv">1</span></label>
+<label><input id="kf" type="checkbox"> keyframes only</label>
+</div>
 <canvas id="c"></canvas>
 <script>
 let pts=new Float32Array(0), cols=new Uint8Array(0), cams=new Float32Array(0);
-let N=0, version=-1;
+let N=0, version=-1, pointSize=1;
 let cx=0,cy=0,cz=0,scale=1;
 const cv=document.getElementById('c'),ctx=cv.getContext('2d');
 const hud=document.getElementById('hud');
@@ -69,12 +80,16 @@ function draw(){
     if(Z<0.05)return null;
     return [W/2+f*X/Z+panx, H/2+f*Y/Z+pany, Z];
   }
+  const s=pointSize;
   for(let i=0;i<N;i++){
     const p=proj(pts[3*i],pts[3*i+1],pts[3*i+2]);
     if(!p)continue;const px=p[0]|0,py=p[1]|0;
-    if(px<0||py<0||px>=W||py>=H)continue;
-    const o=py*W+px;if(p[2]>zb[o])continue;zb[o]=p[2];
-    const q=4*o;d[q]=cols[3*i];d[q+1]=cols[3*i+1];d[q+2]=cols[3*i+2];d[q+3]=255;
+    for(let ddy=0;ddy<s;ddy++)for(let ddx=0;ddx<s;ddx++){
+      const qx=px+ddx,qy=py+ddy;
+      if(qx<0||qy<0||qx>=W||qy>=H)continue;
+      const o=qy*W+qx;if(p[2]>zb[o])continue;zb[o]=p[2];
+      const q=4*o;d[q]=cols[3*i];d[q+1]=cols[3*i+1];d[q+2]=cols[3*i+2];d[q+3]=255;
+    }
   }
   ctx.putImageData(img,0,0);
   ctx.strokeStyle='#e33';ctx.lineWidth=1.5;
@@ -111,6 +126,17 @@ if(mode){panx+=dx;pany+=dy;}else{yaw+=dx*0.008;pitch+=dy*0.008;}
 requestAnimationFrame(draw);};
 onwheel=e=>{dist*=Math.exp(e.deltaY*0.001);requestAnimationFrame(draw);};
 onresize=()=>requestAnimationFrame(draw);
+const thr=document.getElementById('thr'),psz=document.getElementById('psz'),
+      kfc=document.getElementById('kf');
+function sendCtl(){
+  fetch('/controls',{method:'POST',headers:{'Content-Type':
+   'application/json'},body:JSON.stringify({conf_thr:parseFloat(thr.value),
+   kf_only:kfc.checked})}).catch(()=>{});
+}
+thr.oninput=()=>{document.getElementById('thrv').textContent=thr.value;};
+thr.onchange=sendCtl; kfc.onchange=sendCtl;
+psz.oninput=()=>{document.getElementById('pszv').textContent=psz.value;
+  pointSize=parseInt(psz.value);requestAnimationFrame(draw);};
 draw();poll();
 </script></body></html>
 """
@@ -140,6 +166,11 @@ class LiveViewer:
         self._snapshot = _pack_snapshot(0, np.zeros((0, 3), np.float32),
                                         np.zeros((0, 3), np.uint8),
                                         np.zeros((0, 3), np.float32))
+        # interactive controls (reference gradio re-threshold sliders,
+        # demo/gradio.py:132-156,459-482): the page POSTs /controls;
+        # `on_controls` (set by serve_scene) re-filters and re-publishes
+        self.controls: dict = {"conf_thr": 1.5, "kf_only": False}
+        self.on_controls = None
         viewer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -169,6 +200,31 @@ class LiveViewer:
                 self.send_header("Cache-Control", "no-store")
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_POST(self):
+                import json
+
+                if self.path.split("?")[0] != "/controls":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    ctl = json.loads(self.rfile.read(n) or b"{}")
+                except Exception:
+                    ctl = {}
+                with viewer._lock:
+                    viewer.controls.update(
+                        {k: ctl[k] for k in ("conf_thr", "kf_only")
+                         if k in ctl})
+                    cb = viewer.on_controls
+                    snapshot = dict(viewer.controls)
+                if cb is not None:
+                    cb(snapshot)
+                self.send_response(200)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"ok")
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.port = self._server.server_address[1]
@@ -248,6 +304,43 @@ class LiveViewer:
                            np.concatenate(acc_cams) if acc_cams else None)
 
         return on_update
+
+    def serve_scene(self, scene, keyframe_ids=None):
+        """Interactive post-hoc re-thresholding of a finished SceneState
+        (reference gradio's slider -> get_3D_model_from_scene flow,
+        demo/gradio.py:459-482): hooks `on_controls` so the browser's
+        conf-threshold slider / keyframes-only toggle re-filter the
+        already-computed pointmaps -- no re-inference."""
+        pts = np.asarray(scene.pts3d, np.float32)
+        conf = np.asarray(scene.conf, np.float32)
+        imgs = np.asarray(scene.imgs)
+        if imgs.dtype != np.uint8:
+            imgs = (np.clip(imgs.astype(np.float32) * 0.5 + 0.5, 0, 1)
+                    * 255).astype(np.uint8)
+        cams = np.asarray(scene.cams2world, np.float32)[:, :3, 3]
+        kf = set(int(i) for i in (keyframe_ids or []))
+
+        def push(controls):
+            thr = float(controls.get("conf_thr", 1.5))
+            kf_only = bool(controls.get("kf_only", False)) and kf
+            sel = [i for i in range(len(pts))
+                   if not kf_only or i in kf]
+            p_parts, c_parts = [], []
+            for i in sel:
+                keep = conf[i] > thr
+                p_parts.append(pts[i][keep])
+                c_parts.append(imgs[i][keep])
+            self.set_views(
+                np.concatenate(p_parts) if p_parts
+                else np.zeros((0, 3), np.float32),
+                np.concatenate(c_parts) if c_parts
+                else np.zeros((0, 3), np.uint8),
+                cams[sel] if sel else None)
+
+        self.on_controls = push
+        with self._lock:
+            snapshot = dict(self.controls)
+        push(snapshot)
 
     def close(self):
         self._server.shutdown()

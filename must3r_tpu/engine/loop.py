@@ -275,11 +275,27 @@ class Trainer:
     # -- checkpointing ---------------------------------------------------------
 
     def save(self, epoch: int, tag: str):
-        if not self.is_main:   # rank-0-only write (reference io.py)
+        import jax
+        import numpy as np
+
+        from must3r_tpu.parallel import process_count
+
+        params, opt = self.params, self.opt_state
+        if process_count() > 1:
+            # every process holds a full replica: fetch to host numpy
+            # locally, then let EVERY rank enter the orbax save -- orbax
+            # runs internal cross-host barriers even for host-local trees,
+            # so a rank-0-only call leaves the other ranks' next
+            # collective mismatched (gloo 'received data size doesn't
+            # match'). With numpy trees orbax writes from the primary
+            # host only; meta.json is rank-gated inside save_checkpoint.
+            params = jax.tree.map(np.asarray, params)
+            opt = jax.tree.map(np.asarray, opt)
+        elif not self.is_main:   # rank-0-only write (reference io.py)
             return
         path = os.path.join(self.cfg.output_dir, f"checkpoint-{tag}")
-        save_checkpoint(path, self.params, self.enc_cfg, self.dec_cfg,
-                        opt_state=self.opt_state if tag != "final" else None,
+        save_checkpoint(path, params, self.enc_cfg, self.dec_cfg,
+                        opt_state=opt if tag != "final" else None,
                         step=epoch + 1)
 
     def try_resume(self) -> bool:
@@ -300,13 +316,25 @@ class Trainer:
             print(f"WARNING: {last} holds a different model config; "
                   "not resuming")
             return False
-        template = {"params": self.params, "opt_state": self.opt_state}
+        import jax
+        import numpy as np
+
+        # numpy template: every process restores host-locally (no orbax
+        # cross-host coordination), then re-replicates over the mesh
+        template = jax.tree.map(np.asarray,
+                                {"params": self.params,
+                                 "opt_state": self.opt_state})
         try:
             params, _, _, opt_state, meta = load_checkpoint(last, template)
         except Exception as e:
             print(f"WARNING: cannot resume from {last} ({e}); "
                   "starting fresh")
             return False
+        if self.mesh is not None:
+            from must3r_tpu.parallel import replicate
+            params = replicate(self.mesh, params)
+            if opt_state is not None:
+                opt_state = replicate(self.mesh, opt_state)
         self.params = params
         if opt_state is not None:
             self.opt_state = opt_state

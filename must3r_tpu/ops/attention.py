@@ -501,17 +501,33 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
     bk, bq, n_qb, q_pad, len_and_layer, labels_tiled = _ca_prep(
         q, kv, labels, kv_len, layer, block_k, block_q,
         align128=return_stats)
+    stripe = None if block_q is not None else _fold_stripe(g, n)
     scale = 1.0 / math.sqrt(dh)
 
     qt = q.transpose(0, 1, 3, 2, 4)  # B,G,H,N,Dh
-    if q_pad:
-        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, 0), (0, q_pad), (0, 0)))
+    if stripe is not None:
+        # folded-G: all images' rows in one program per (b, h); per-image
+        # masks applied per row stripe inside the kernel
+        qt = _fold_rows(qt, stripe)
+        bq, n_qb, q_pad = g * stripe, 1, 0
+        g_grid = 1
+    else:
+        g_grid = g
+        if q_pad:
+            qt = jnp.pad(qt, ((0, 0), (0, 0), (0, 0), (0, q_pad), (0, 0)))
     q_self = q_self.astype(jnp.int32)
     q_upper = q_upper.astype(jnp.int32)
 
     has_ext = ext is not None
-    ext_tiled = (ext.astype(jnp.int32).reshape(
-        b * g * (s_cap // bk), 1, bk) if has_ext else None)
+    if has_ext:
+        if stripe is not None:
+            ext_tiled, ext_gpad = _tile_ext_folded(ext, b, g, s_cap, bk)
+        else:
+            ext_tiled = ext.astype(jnp.int32).reshape(
+                b * g * (s_cap // bk), 1, bk)
+            ext_gpad = 1
+    else:
+        ext_tiled = None
 
     def kernel(len_ref, qself_ref, qupper_ref,       # scalar prefetch
                q_ref, kv_hbm, lbl_hbm, *rest):       # inputs/outputs/scratch
@@ -531,9 +547,7 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
         length = len_ref[0]
         li = len_ref[1]
         n_blocks = jnp.maximum(pl.cdiv(length, bk), 1)
-        qs = qself_ref[bi, gi]
-        qu = qupper_ref[bi, gi]
-        qb = q_ref[0, 0, 0]                               # (N, Dh)
+        qb = q_ref[0, 0, 0]                               # (bq, Dh)
 
         def dma_kv(slot, idx):
             return pltpu.make_async_copy(
@@ -546,7 +560,10 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
                 lbl_hbm.at[row], lbl_buf.at[slot], sem.at[slot, 1])
 
         def dma_e(slot, idx):
-            row = (bi * g + gi) * (s_cap // bk) + idx
+            if stripe is not None:
+                row = bi * (s_cap // bk) + idx
+            else:
+                row = (bi * g + gi) * (s_cap // bk) + idx
             return pltpu.make_async_copy(
                 ext_hbm.at[row], ext_buf.at[slot], sem.at[slot, 2])
 
@@ -555,6 +572,25 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
             dma_l(slot, idx).start()
             if has_ext:
                 dma_e(slot, idx).start()
+
+        def allow_rows(lbl, eslot):
+            """(rows_or_1, bk) bool mask from per-image label predicates."""
+            if stripe is None:
+                qs = qself_ref[bi, gi]
+                qu = qupper_ref[bi, gi]
+                a = (lbl >= 0) & (lbl != qs) & (lbl < qu)  # (1, bk)
+                if has_ext:
+                    a = a & (ext_buf[eslot] == 0)
+                return a
+            parts = []
+            for si in range(g):
+                qs = qself_ref[bi, si]
+                qu = qupper_ref[bi, si]
+                a = (lbl >= 0) & (lbl != qs) & (lbl < qu)  # (1, bk)
+                if has_ext:
+                    a = a & (ext_buf[eslot, si][None] == 0)
+                parts.append(jnp.broadcast_to(a, (stripe, bk)))
+            return jnp.concatenate(parts, axis=0)          # (bq, bk)
 
         start(0, 0)
 
@@ -578,10 +614,7 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
             s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s * scale
-            allow = (lbl >= 0) & (lbl != qs) & (lbl < qu)  # (1, bk)
-            if has_ext:
-                allow = allow & (ext_buf[slot] == 0)
-            s = jnp.where(allow, s, _NEG_INF)
+            s = jnp.where(allow_rows(lbl, slot), s, _NEG_INF)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m - m_new)
@@ -599,13 +632,14 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
             # log-sum-exp per query row (flash-bwd recompute statistic)
             lse_ref[0, 0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
-    out_shapes = [jax.ShapeDtypeStruct((b, g, h, n_qb * bq, dh), q.dtype)]
+    out_shapes = [jax.ShapeDtypeStruct((b, g_grid, h, n_qb * bq, dh),
+                                       q.dtype)]
     out_specs = [pl.BlockSpec((1, 1, 1, bq, dh),
                               lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi,
                                                           0))]
     if return_stats:
         # trailing singleton keeps the block's last two dims tile-legal
-        out_shapes.append(jax.ShapeDtypeStruct((b, g, h, n_qb * bq, 1),
+        out_shapes.append(jax.ShapeDtypeStruct((b, g_grid, h, n_qb * bq, 1),
                                                jnp.float32))
         out_specs.append(pl.BlockSpec(
             (1, 1, 1, bq, 1),
@@ -627,11 +661,13 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
     args = [len_and_layer, q_self, q_upper, qt, kv, labels_tiled]
     if has_ext:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-        scratch.insert(2, pltpu.VMEM((2, 1, bk), jnp.int32))
+        scratch.insert(2, pltpu.VMEM(
+            (2, ext_gpad, bk) if stripe is not None else (2, 1, bk),
+            jnp.int32))
         args.append(ext_tiled)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, g, h, n_qb),
+        grid=(b, g_grid, h, n_qb),
         in_specs=in_specs,
         out_specs=tuple(out_specs) if return_stats else out_specs[0],
         scratch_shapes=scratch,
@@ -647,11 +683,16 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
         interpret=interpret,
     )(*args)
     out, lse = outs if return_stats else (outs, None)
-    if q_pad:
+    if stripe is not None:
+        out = _unfold_rows(out, g, stripe)                 # B,G,H,stripe,Dh
+        if lse is not None:
+            lse = _unfold_rows(lse, g, stripe)
+    if out.shape[3] != n:
         out = out[:, :, :, :n, :]
     out = out.transpose(0, 1, 3, 2, 4)
     if return_stats:
-        # lse keeps the padded [B, G, H, n_qb*bq, 1] rows
+        # lse keeps the padded [B, G, H, rows, 1] layout (rows = stripe
+        # when folded, n_qb*bq otherwise)
         return out, lse
     return out
 
@@ -670,6 +711,38 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
 # No score/probability tensor is ever materialized in HBM -- the XLA VJP
 # of the chunked scan stored ~50 MB of p per (layer, step) residual.
 # ---------------------------------------------------------------------------
+
+_FOLD_MAX_ROWS = 2048
+
+
+def _fold_stripe(g: int, n: int) -> Optional[int]:
+    """Folded-G row layout decision: when a step carries several images
+    (training updates, offline init), pack every image's (128-aligned)
+    query rows into ONE row block of R = g*stripe rows so each (b, h)
+    pair runs ONE kernel program with G-x bigger MXU dots, instead of G
+    programs of tiny dots (the per-program overhead dominated the update
+    CA at flagship training shapes). Per-image masks apply per row
+    stripe. Bounded so the f32 score block stays well inside VMEM."""
+    stripe = -(-n // 128) * 128
+    if g > 1 and g * stripe <= _FOLD_MAX_ROWS:
+        return stripe
+    return None
+
+
+def _fold_rows(x, stripe: int):
+    """[B, G, H, rows<=stripe, C] -> [B, 1, H, G*stripe, C] (zero-pads
+    each image's rows to the stripe)."""
+    b, g, h, rows, c = x.shape
+    if rows != stripe:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, stripe - rows), (0, 0)))
+    return x.transpose(0, 2, 1, 3, 4).reshape(b, 1, h, g * stripe, c)
+
+
+def _unfold_rows(x, g: int, stripe: int):
+    """[B, 1, H, G*stripe, C] -> [B, G, H, stripe, C]."""
+    b, _, h, r, c = x.shape
+    return x.reshape(b, h, g, stripe, c).transpose(0, 2, 1, 3, 4)
+
 
 def _ca_prep(q, kv, labels, kv_len, layer, block_k, block_q,
              align128: bool = True):
@@ -702,6 +775,16 @@ def _ca_prep(q, kv, labels, kv_len, layer, block_k, block_q,
     return bk, bq, n_qb, q_pad, len_and_layer, labels_tiled
 
 
+def _tile_ext_folded(ext, b: int, g: int, s_cap: int, bk: int):
+    """[B, G, S] dropout mask -> [B*(S/bk), g_pad, bk] rows so one DMA per
+    KV block fetches every image's mask (g_pad: sublane-tile padding)."""
+    g_pad = -(-g // 8) * 8
+    nb = s_cap // bk
+    e = ext.astype(jnp.int32).reshape(b, g, nb, bk).transpose(0, 2, 1, 3)
+    e = jnp.pad(e, ((0, 0), (0, 0), (0, g_pad - g), (0, 0)))
+    return e.reshape(b * nb, g_pad, bk), g_pad
+
+
 def _pad_rows(x, q_pad):
     """Pad the query axis (axis 3) of [B, G, H, N, ...] with zeros."""
     if not q_pad:
@@ -723,14 +806,31 @@ def _ca_bwd_dq_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
     s_cap = kv.shape[3]
     bk, bq, n_qb, q_pad, len_and_layer, labels_tiled = _ca_prep(
         q, kv, labels, kv_len, layer, block_k, block_q)
+    stripe = None if block_q is not None else _fold_stripe(g, n)
     scale = 1.0 / math.sqrt(dh)
 
-    qt = _pad_rows(q.transpose(0, 1, 3, 2, 4), q_pad)
-    gt = _pad_rows(g_out.transpose(0, 1, 3, 2, 4), q_pad)
-    # lse/delta already carry the padded row count [B, G, H, n_qb*bq]
+    if stripe is not None:
+        qt = _fold_rows(q.transpose(0, 1, 3, 2, 4), stripe)
+        gt = _fold_rows(g_out.transpose(0, 1, 3, 2, 4), stripe)
+        lse = _fold_rows(lse, stripe)       # rows already == stripe
+        delta = _fold_rows(delta, stripe)
+        bq, n_qb, q_pad = g * stripe, 1, 0
+        g_grid = 1
+    else:
+        qt = _pad_rows(q.transpose(0, 1, 3, 2, 4), q_pad)
+        gt = _pad_rows(g_out.transpose(0, 1, 3, 2, 4), q_pad)
+        g_grid = g
+    # lse/delta carry the padded row count
     has_ext = ext is not None
-    ext_tiled = (ext.astype(jnp.int32).reshape(
-        b * g * (s_cap // bk), 1, bk) if has_ext else None)
+    if has_ext:
+        if stripe is not None:
+            ext_tiled, ext_gpad = _tile_ext_folded(ext, b, g, s_cap, bk)
+        else:
+            ext_tiled = ext.astype(jnp.int32).reshape(
+                b * g * (s_cap // bk), 1, bk)
+            ext_gpad = 1
+    else:
+        ext_tiled = None
 
     def kernel(len_ref, qself_ref, qupper_ref,
                q_ref, g_ref, lse_ref, dlt_ref, kv_hbm, lbl_hbm, *rest):
@@ -744,8 +844,6 @@ def _ca_bwd_dq_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
         length = len_ref[0]
         li = len_ref[1]
         n_blocks = jnp.maximum(pl.cdiv(length, bk), 1)
-        qs = qself_ref[bi, gi]
-        qu = qupper_ref[bi, gi]
         qb = q_ref[0, 0, 0]                               # (bq, Dh)
         gb = g_ref[0, 0, 0]
         lse = lse_ref[0, 0, 0]                            # (bq, 1)
@@ -762,7 +860,10 @@ def _ca_bwd_dq_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
                 lbl_hbm.at[row], lbl_buf.at[slot], sem.at[slot, 1])
 
         def dma_e(slot, idx):
-            row = (bi * g + gi) * (s_cap // bk) + idx
+            if stripe is not None:
+                row = bi * (s_cap // bk) + idx
+            else:
+                row = (bi * g + gi) * (s_cap // bk) + idx
             return pltpu.make_async_copy(
                 ext_hbm.at[row], ext_buf.at[slot], sem.at[slot, 2])
 
@@ -771,6 +872,24 @@ def _ca_bwd_dq_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
             dma_l(slot, idx).start()
             if has_ext:
                 dma_e(slot, idx).start()
+
+        def allow_rows(lbl, eslot):
+            if stripe is None:
+                qs = qself_ref[bi, gi]
+                qu = qupper_ref[bi, gi]
+                a = (lbl >= 0) & (lbl != qs) & (lbl < qu)
+                if has_ext:
+                    a = a & (ext_buf[eslot] == 0)
+                return a
+            parts = []
+            for si in range(g):
+                qs = qself_ref[bi, si]
+                qu = qupper_ref[bi, si]
+                a = (lbl >= 0) & (lbl != qs) & (lbl < qu)
+                if has_ext:
+                    a = a & (ext_buf[eslot, si][None] == 0)
+                parts.append(jnp.broadcast_to(a, (stripe, bk)))
+            return jnp.concatenate(parts, axis=0)
 
         start(0, 0)
 
@@ -791,10 +910,8 @@ def _ca_bwd_dq_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
             s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s * scale
-            allow = (lbl >= 0) & (lbl != qs) & (lbl < qu)
-            if has_ext:
-                allow = allow & (ext_buf[slot] == 0)
-            p = jnp.where(allow, jnp.exp(s - lse), 0.0)    # (bq, bk)
+            p = jnp.where(allow_rows(lbl, slot),
+                          jnp.exp(s - lse), 0.0)           # (bq, bk)
             dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             ds = p * (dp - dlt)
@@ -822,11 +939,13 @@ def _ca_bwd_dq_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
             q_upper.astype(jnp.int32), qt, gt, lse, delta, kv, labels_tiled]
     if has_ext:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
-        scratch.insert(2, pltpu.VMEM((2, 1, bk), jnp.int32))
+        scratch.insert(2, pltpu.VMEM(
+            (2, ext_gpad, bk) if stripe is not None else (2, 1, bk),
+            jnp.int32))
         args.append(ext_tiled)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, g, h, n_qb),
+        grid=(b, g_grid, h, n_qb),
         in_specs=in_specs,
         out_specs=qblock,
         scratch_shapes=scratch,
@@ -834,14 +953,17 @@ def _ca_bwd_dq_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
     dq = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, g, h, n_qb * bq, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, g_grid, h, n_qb * bq, dh),
+                                       q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary"),
         ),
         interpret=interpret,
     )(*args)
-    if q_pad:
+    if stripe is not None:
+        dq = _unfold_rows(dq, g, stripe)
+    if dq.shape[3] != n:
         dq = dq[:, :, :, :n, :]
     return dq.transpose(0, 1, 3, 2, 4)
 
@@ -860,23 +982,40 @@ def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
     s_cap = kv.shape[3]
     bk, bq, n_qb, q_pad, len_and_layer, labels_tiled = _ca_prep(
         q, kv, labels, kv_len, layer, block_k, block_q)
+    stripe = None if block_q is not None else _fold_stripe(g, n)
     scale = 1.0 / math.sqrt(dh)
 
-    qt = _pad_rows(q.transpose(0, 1, 3, 2, 4), q_pad)      # B,G,H,Nq,Dh
-    gt = _pad_rows(g_out.transpose(0, 1, 3, 2, 4), q_pad)
+    if stripe is not None:
+        qt = _fold_rows(q.transpose(0, 1, 3, 2, 4), stripe)
+        gt = _fold_rows(g_out.transpose(0, 1, 3, 2, 4), stripe)
+        lse = _fold_rows(lse, stripe)
+        delta = _fold_rows(delta, stripe)
+        bq, n_qb = g * stripe, 1
+        g_loop = 1      # one folded q row-block covers every image
+    else:
+        qt = _pad_rows(q.transpose(0, 1, 3, 2, 4), q_pad)  # B,G,H,Nq,Dh
+        gt = _pad_rows(g_out.transpose(0, 1, 3, 2, 4), q_pad)
+        g_loop = g
     # rows for DMA: address only the untiled major dim (same trick as the
     # labels). q and g are packed side by side into one 128-lane row --
     # Mosaic rejects VMEM buffers whose lane dim (Dh=64) underfills the
     # 128-lane tile, but a :Dh slice of a full 2*Dh row is legal (the
     # forward's kv_buf uses the same pattern).
     qg_rows = jnp.concatenate([qt, gt], axis=-1).reshape(
-        b * g * h * n_qb, bq, 2 * dh)
-    lse_rows = lse.reshape(b * g * h * n_qb, 1, bq)
-    dlt_rows = delta.reshape(b * g * h * n_qb, 1, bq)
+        b * g_loop * h * n_qb, bq, 2 * dh)
+    lse_rows = lse.reshape(b * g_loop * h * n_qb, 1, bq)
+    dlt_rows = delta.reshape(b * g_loop * h * n_qb, 1, bq)
     has_ext = ext is not None
-    # per (image, kv-block) mask rows; the own block's row per image
-    ext_tiled = (ext.astype(jnp.int32).reshape(
-        b * g * (s_cap // bk), 1, bk) if has_ext else None)
+    if has_ext:
+        if stripe is not None:
+            ext_tiled, ext_gpad = _tile_ext_folded(ext, b, g, s_cap, bk)
+        else:
+            # per (image, kv-block) mask rows; the own block's row per image
+            ext_tiled = ext.astype(jnp.int32).reshape(
+                b * g * (s_cap // bk), 1, bk)
+            ext_gpad = 1
+    else:
+        ext_tiled = None
 
     def kernel(len_ref, qself_ref, qupper_ref, *refs):
         if has_ext:
@@ -915,7 +1054,7 @@ def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
             lbl = lbl_buf[0][None]                        # (1, bk)
 
             def row_id(gi, qi):
-                return ((bi * g + gi) * h + hi) * n_qb + qi
+                return ((bi * g_loop + gi) * h + hi) * n_qb + qi
 
             def dma_qg(slot, gi, qi):
                 return pltpu.make_async_copy(
@@ -933,7 +1072,10 @@ def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
                     sem.at[slot, 3])
 
             def dma_e(slot, gi):
-                row = (bi * g + gi) * (s_cap // bk) + ki
+                if stripe is not None:
+                    row = bi * (s_cap // bk) + ki
+                else:
+                    row = (bi * g + gi) * (s_cap // bk) + ki
                 return pltpu.make_async_copy(
                     ext_hbm.at[row], ext_buf.at[slot], sem.at[slot, 1])
 
@@ -954,7 +1096,7 @@ def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
                     dma_e(slot, gi).wait()
 
             start(0, 0)
-            n_j = g * n_qb
+            n_j = g_loop * n_qb
 
             def body(j, carry):
                 dk, dv = carry
@@ -966,8 +1108,6 @@ def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
 
                 wait(slot, j)
                 gi = jax.lax.div(j, n_qb)
-                qs = qself_ref[bi, gi]
-                qu = qupper_ref[bi, gi]
                 qb = qg_buf[slot, :, :dh]                  # (bq, Dh)
                 gb = qg_buf[slot, :, dh:]
                 lse_r = lse_buf[slot][0][:, None]          # (bq, 1)
@@ -975,9 +1115,22 @@ def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
                 s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                 s = s * scale
-                allow = (lbl >= 0) & (lbl != qs) & (lbl < qu)
-                if has_ext:
-                    allow = allow & (ext_buf[slot][0][None] == 0)
+                if stripe is None:
+                    qs = qself_ref[bi, gi]
+                    qu = qupper_ref[bi, gi]
+                    allow = (lbl >= 0) & (lbl != qs) & (lbl < qu)
+                    if has_ext:
+                        allow = allow & (ext_buf[slot][0][None] == 0)
+                else:
+                    parts = []
+                    for si in range(g):
+                        qs = qself_ref[bi, si]
+                        qu = qupper_ref[bi, si]
+                        a = (lbl >= 0) & (lbl != qs) & (lbl < qu)
+                        if has_ext:
+                            a = a & (ext_buf[slot, si][None] == 0)
+                        parts.append(jnp.broadcast_to(a, (stripe, bk)))
+                    allow = jnp.concatenate(parts, axis=0)  # (bq, bk)
                 p = jnp.where(allow, jnp.exp(s - lse_r), 0.0)  # (bq, bk)
                 dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32)
@@ -1014,7 +1167,8 @@ def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
             pltpu.VMEM((2, 1, bq), jnp.float32),
             pltpu.VMEM((bk, 2 * dh), kv.dtype),
             pltpu.VMEM((1, bk), jnp.int32)]
-            + ([pltpu.VMEM((2, 1, bk), jnp.int32)] if has_ext else [])
+            + ([pltpu.VMEM((2, ext_gpad, bk) if stripe is not None
+                           else (2, 1, bk), jnp.int32)] if has_ext else [])
             + [pltpu.SemaphoreType.DMA((2, 4))]),
     )
     args = [len_and_layer, q_self.astype(jnp.int32),

@@ -168,4 +168,99 @@ def save_codebook(path: str, codebook: np.ndarray):
 
 
 def load_codebook(path: str) -> np.ndarray:
+    """Load a codebook: our `.npz`, or a published reference
+    `*_codebook.pkl` (reference processor.py:82-95) via the
+    package-free unpickler below."""
+    if path.endswith(".pkl"):
+        return load_reference_codebook(path)
     return np.load(path)["codebook"]
+
+
+# ---------------------------------------------------------------------------
+# Published-codebook compatibility (weights-arrival readiness).
+#
+# The reference caches its trained codebook with the original `asmk`
+# package's classes pickled in (`asmk.kmeans.*`; reference
+# processor.py:93-95 train_codebook(cache_path=...)). That package is a
+# Cython stack we don't ship. The loader below unpickles with generic
+# stand-ins for any non-numpy class and extracts the centroid matrix from
+# the reconstructed object graph -- all our ASMK needs is the [k, D]
+# float array.
+# ---------------------------------------------------------------------------
+
+class _Stub:
+    """Stand-in for a foreign pickled class: records construction args and
+    state without needing the original package."""
+
+    def __init__(self, *args, **kwargs):
+        self._args = args
+        self.__dict__.update(kwargs)
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+        elif (isinstance(state, tuple) and len(state) == 2
+              and isinstance(state[1], dict)):
+            self.__dict__.update(state[1])
+            self.__dict__["_state0"] = state[0]
+        else:
+            self.__dict__["_state"] = state
+
+    def __call__(self, *args, **kwargs):
+        # reconstructor-style callables (e.g. module-level factory fns)
+        return _Stub(*args, **kwargs)
+
+
+def _stubbed_unpickler(file):
+    import pickle
+
+    safe_roots = {"numpy", "builtins", "collections", "copyreg",
+                  "functools", "_codecs", "array"}
+
+    class U(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.split(".")[0] in safe_roots:
+                return super().find_class(module, name)
+            return type(name, (_Stub,), {"_module": module})
+
+    return U(file)
+
+
+def _walk_arrays(obj, out, seen):
+    if id(obj) in seen:
+        return
+    seen.add(id(obj))
+    if isinstance(obj, np.ndarray):
+        out.append(obj)
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            _walk_arrays(v, out, seen)
+    elif isinstance(obj, (list, tuple, set)):
+        for v in obj:
+            _walk_arrays(v, out, seen)
+    elif isinstance(obj, _Stub):
+        _walk_arrays(obj.__dict__, out, seen)
+        _walk_arrays(getattr(obj, "_args", ()), out, seen)
+
+
+def load_reference_codebook(path: str) -> np.ndarray:
+    """Extract the k-means centroid matrix from a published
+    `*_codebook.pkl` without the original `asmk`/`faiss` packages.
+
+    Heuristic: the centroids are the largest 2-D float array in the
+    pickle (64k x D for the published files; every other array in the
+    cache -- norms, counts, assignment stats -- is 1-D or far smaller).
+    """
+    with open(path, "rb") as f:
+        obj = _stubbed_unpickler(f).load()
+    arrays: list = []
+    _walk_arrays(obj, arrays, set())
+    cands = [a for a in arrays
+             if a.ndim == 2 and np.issubdtype(a.dtype, np.floating)
+             and a.shape[0] > a.shape[1]]
+    if not cands:
+        raise ValueError(
+            f"{path}: no 2-D float centroid matrix found in the pickle"
+            " (a faiss-serialized index would need the faiss package)")
+    cb = max(cands, key=lambda a: a.size)
+    return np.ascontiguousarray(cb, np.float32)

@@ -140,9 +140,15 @@ def torch_encoder_forward(enc, img, pos):
     return enc.norm_enc(x)
 
 
-def torch_decoder_forward(dec, x_enc, pos, mem=None, render=False):
+def torch_decoder_forward(dec, x_enc, pos, mem=None, render=False,
+                          causal=False):
     """Independent transcription of reference MUSt3R.forward semantics
-    (kv memory mode). mem = (k_list, v_list, labels, n_imgs) or None."""
+    (kv memory mode). mem = (k_list, v_list, labels, n_imgs) or None.
+
+    causal=True applies the CausalMUSt3R training rule (reference
+    decoder.py:394-400): each image attends strictly-earlier labels,
+    with the init exception that image 0 of a fresh memory attends
+    labels < 2 (itself and image 1)."""
     depth = len(dec.blocks_dec)
     d_dec = dec.image2_embed.shape[-1]
     b, g, n, _ = x_enc.shape
@@ -179,10 +185,15 @@ def torch_decoder_forward(dec, x_enc, pos, mem=None, render=False):
         xg = x.reshape(b, g, n, -1)
         outs = []
         for gi in range(g):
+            own = n_imgs + gi
             if render or (n_imgs == 0 and g == 1):
                 allow = torch.ones(b, n, lab.shape[1], dtype=torch.bool)
+            elif causal:
+                if n_imgs == 0 and g > 1 and gi == 0:
+                    allow = (lab < 2)[:, None].expand(b, n, -1)
+                else:
+                    allow = (lab < own)[:, None].expand(b, n, -1)
             else:
-                own = n_imgs + gi
                 allow = (lab != own)[:, None].expand(b, n, -1)
             outs.append(ca_torch(blk, xg[:, gi], k, v, allow))
         x = x + torch.stack(outs, 1).reshape(b * g, n, -1)
@@ -211,3 +222,49 @@ def torch_head(dec, toks, hw):
     x = x.transpose(-1, -2).reshape(b * g, -1, hp, wp)
     x = torch.nn.functional.pixel_shuffle(x, p)
     return x.permute(0, 2, 3, 1).reshape(b, g, hw[0], hw[1], -1)
+
+
+def torch_decoder_refine(dec, x_enc, pos, mem, old_labels):
+    """Refinement pass (reference inference_multi_ar refinement,
+    engine/inference.py:412-443): re-run the update forward for
+    already-seen images -- they attend the full memory including their
+    own OLD tokens (those carry a different label) -- then overwrite the
+    original tokens in place by label. Label 0 is never refined."""
+    depth = len(dec.blocks_dec)
+    b, g, n, _ = x_enc.shape
+    old_len = mem[0][0].shape[1]
+    mem2, toks = torch_decoder_forward(dec, x_enc, pos, mem)
+    k_out = [k[:, :old_len].clone() for k in mem2[0]]
+    v_out = [v[:, :old_len].clone() for v in mem2[1]]
+    labels = mem[2]
+    for gi in range(g):
+        lab = int(old_labels[gi])
+        if lab <= 0:
+            continue
+        idx = (labels[0] == lab).nonzero().squeeze(-1)
+        if idx.numel() == 0:
+            continue
+        for li in range(depth):
+            k_out[li][:, idx] = mem2[0][li][:, old_len + gi * n:
+                                            old_len + (gi + 1) * n]
+            v_out[li][:, idx] = mem2[1][li][:, old_len + gi * n:
+                                            old_len + (gi + 1) * n]
+    return (k_out, v_out, labels, mem[3]), toks
+
+
+def torch_mem_evict(mem, label):
+    """Drop every memory row of one image label (reference
+    _remove_from_mem, engine/inference.py:204-212)."""
+    k, v, labels, n_imgs = mem
+    keep = labels[0] != label
+    return ([kk[:, keep] for kk in k], [vv[:, keep] for vv in v],
+            labels[:, keep], n_imgs)
+
+
+def torch_mem_relabel(mem, old, new):
+    """Rewrite one image label (reference _restore_label_in_mem,
+    engine/inference.py:215-218)."""
+    k, v, labels, n_imgs = mem
+    labels = torch.where(labels == old,
+                         torch.as_tensor(new, dtype=labels.dtype), labels)
+    return (k, v, labels, n_imgs)

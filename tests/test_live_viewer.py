@@ -84,3 +84,48 @@ def test_offline_reconstruction_streams_updates(rng):
         assert ver == 3 and n > 0 and ncam == 4
     finally:
         viewer.close()
+
+
+def test_interactive_controls_rethreshold(rng):
+    """POST /controls re-filters a served SceneState (the gradio
+    slider -> get_3D_model_from_scene flow, demo/gradio.py:459-482)."""
+    import json
+    import struct as _struct
+
+    from must3r_tpu.demo.inference import SceneState
+
+    v, h, w = 3, 8, 8
+    conf = 2.0 * np.ones((v, h, w), np.float32)
+    conf[0] += 9.0          # view 0 survives any threshold <= 11
+    scene = SceneState(
+        pts3d=rng.standard_normal((v, h, w, 3)).astype(np.float32),
+        pts3d_local=np.zeros((v, h, w, 3), np.float32),
+        conf=conf,
+        imgs=rng.integers(0, 255, (v, h, w, 3)).astype(np.uint8),
+        true_shape=np.tile([h, w], (v, 1)),
+        focals=np.ones((v,), np.float32),
+        cams2world=np.tile(np.eye(4, dtype=np.float32), (v, 1, 1)),
+        image_list=[f"im{i}" for i in range(v)])
+
+    viewer = LiveViewer(port=0, verbose=False)
+    try:
+        page = _fetch(viewer.url).decode()
+        assert "conf thr" in page and "/controls" in page
+        viewer.serve_scene(scene, keyframe_ids=[0, 2])
+        blob = _fetch(viewer.url + "data.bin")
+        _, ver1, n1, ncam1 = _struct.unpack("<IIII", blob[:16])
+        assert n1 == v * h * w and ncam1 == v     # thr 1.5 keeps all
+
+        req = urllib.request.Request(
+            viewer.url + "controls",
+            data=json.dumps({"conf_thr": 5.0, "kf_only": True}).encode(),
+            method="POST")
+        assert urllib.request.urlopen(req, timeout=10).read() == b"ok"
+        blob = _fetch(viewer.url + "data.bin")
+        _, ver2, n2, ncam2 = _struct.unpack("<IIII", blob[:16])
+        assert ver2 == ver1 + 1
+        assert n2 == h * w            # only view 0 survives thr 5
+        assert ncam2 == 2             # keyframes-only: views {0, 2}
+        assert viewer.controls["conf_thr"] == 5.0
+    finally:
+        viewer.close()

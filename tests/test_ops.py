@@ -439,3 +439,92 @@ def test_ca_flash_backward_kernels_match_chunked_vjp(rng):
                                rtol=2e-4, atol=2e-5)
     # other layers of the cache receive no gradient
     assert float(jnp.abs(dkv5_want[0]).max()) == 0.0
+
+
+def test_ca_kernels_folded_g_match_chunked(rng):
+    """Folded-G row layout (block_q=None, g>1 -> one program per (b, h)
+    with per-stripe masks): forward + both flash-backward kernels vs the
+    chunked path, with causal masks AND the dropout extra_mask."""
+    from must3r_tpu.ops.attention import (
+        _ca_bwd_dkv_pallas,
+        _ca_bwd_dq_pallas,
+        _ca_chunked,
+        _ca_pallas,
+        _fold_stripe,
+    )
+
+    b, g, n, h, dh, s = 2, 3, 24, 2, 32, 512
+    stripe = _fold_stripe(g, n)
+    assert stripe == 128      # folding must actually engage
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    kv5 = jnp.asarray(rng.standard_normal((1, b, h, s, 2 * dh)),
+                      jnp.float32)
+    live = 300
+    labels = jnp.where(jnp.arange(s) < live, jnp.arange(s) // 60, -1)
+    labels = jnp.broadcast_to(labels[None], (b, s)).astype(jnp.int32)
+    extra = jnp.asarray(rng.random((b, g, s)) < 0.2)
+    # causal-update style masks, different per image
+    q_self = jnp.broadcast_to(jnp.arange(2, 2 + g, dtype=jnp.int32)[None],
+                              (b, g))
+    q_upper = q_self
+    layer = jnp.int32(0)
+    g_out = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+
+    k, v = jnp.split(kv5[0], 2, axis=-1)
+
+    def f(q_, k_, v_):
+        return _ca_chunked(q_, k_, v_, labels, q_self, q_upper,
+                           extra_mask=extra)
+
+    out_ref, vjp = jax.vjp(f, q, k, v)
+    dq_want, dk_want, dv_want = vjp(g_out)
+
+    ext = extra.astype(jnp.int32)
+    out, lse = _ca_pallas(q, kv5, labels, q_self, q_upper, jnp.int32(live),
+                          layer, interpret=True, return_stats=True,
+                          ext=ext)
+    assert lse.shape == (b, g, h, stripe, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+    delta = jnp.sum(g_out * out, axis=-1).transpose(0, 1, 3, 2)[..., None]
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, 0), (0, stripe - n),
+                            (0, 0)))
+    dq = _ca_bwd_dq_pallas(q, kv5, labels, q_self, q_upper,
+                           jnp.int32(live), layer, lse, delta, g_out,
+                           interpret=True, ext=ext)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_want),
+                               rtol=2e-4, atol=2e-5)
+    dkv = _ca_bwd_dkv_pallas(q, kv5, labels, q_self, q_upper,
+                             jnp.int32(live), layer, lse, delta, g_out,
+                             interpret=True, ext=ext)
+    np.testing.assert_allclose(np.asarray(dkv[..., :dh]),
+                               np.asarray(dk_want), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dkv[..., dh:]),
+                               np.asarray(dv_want), rtol=2e-4, atol=2e-5)
+
+    # no-dropout variant exercises the ext-free folded branches
+    def f2(q_, k_, v_):
+        return _ca_chunked(q_, k_, v_, labels, q_self, q_upper)
+
+    out_ref2, vjp2 = jax.vjp(f2, q, k, v)
+    dq_want2, dk_want2, dv_want2 = vjp2(g_out)
+    out2, lse2 = _ca_pallas(q, kv5, labels, q_self, q_upper,
+                            jnp.int32(live), layer, interpret=True,
+                            return_stats=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out_ref2),
+                               rtol=2e-5, atol=2e-5)
+    delta2 = jnp.sum(g_out * out2, axis=-1).transpose(0, 1, 3, 2)[..., None]
+    delta2 = jnp.pad(delta2, ((0, 0), (0, 0), (0, 0), (0, stripe - n),
+                              (0, 0)))
+    dq2 = _ca_bwd_dq_pallas(q, kv5, labels, q_self, q_upper,
+                            jnp.int32(live), layer, lse2, delta2, g_out,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(dq2), np.asarray(dq_want2),
+                               rtol=2e-4, atol=2e-5)
+    dkv2 = _ca_bwd_dkv_pallas(q, kv5, labels, q_self, q_upper,
+                              jnp.int32(live), layer, lse2, delta2, g_out,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(dkv2[..., :dh]),
+                               np.asarray(dk_want2), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dkv2[..., dh:]),
+                               np.asarray(dv_want2), rtol=2e-4, atol=2e-5)

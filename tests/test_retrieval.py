@@ -169,3 +169,58 @@ def test_asmk_matches_naive_spec_transcription(rng):
     got = ASMK(codebook, alpha=alpha, similarity_threshold=tau,
                query_ma=qma, database_ma=1).similarity_matrix(feats, ids)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_load_reference_codebook_without_package(tmp_path):
+    """Simulate the published *_codebook.pkl: pickle an object graph whose
+    classes live in an 'asmk' package, remove the package, and load the
+    centroids with the package-free unpickler
+    (reference processor.py:82-95)."""
+    import pickle
+    import sys
+    import types
+
+    import numpy as np
+
+    from must3r_tpu.retrieval.asmk import load_codebook
+
+    pkg = types.ModuleType("asmk")
+    km = types.ModuleType("asmk.kmeans")
+
+    class Codebook:
+        def __init__(self):
+            self.centroids = None
+            self.norms = None
+            self.trained = True
+
+    class ASMKMethod:
+        pass
+
+    Codebook.__module__ = "asmk.kmeans"
+    Codebook.__qualname__ = "Codebook"
+    ASMKMethod.__module__ = "asmk.asmk_method"
+    ASMKMethod.__qualname__ = "ASMKMethod"
+    km.Codebook = Codebook
+    pkg.kmeans = km
+    pkg.asmk_method = types.ModuleType("asmk.asmk_method")
+    pkg.asmk_method.ASMKMethod = ASMKMethod
+    sys.modules["asmk"] = pkg
+    sys.modules["asmk.kmeans"] = km
+    sys.modules["asmk.asmk_method"] = pkg.asmk_method
+    try:
+        rng = np.random.default_rng(0)
+        cb = Codebook()
+        cb.centroids = rng.standard_normal((512, 64)).astype(np.float32)
+        cb.norms = (cb.centroids ** 2).sum(-1)
+        meta = ASMKMethod()
+        meta.__dict__["codebook"] = cb
+        meta.__dict__["params"] = {"size": 512}
+        path = tmp_path / "model_codebook.pkl"
+        with open(path, "wb") as f:
+            pickle.dump({"codebook": meta, "train_time": 1.23}, f)
+    finally:
+        del sys.modules["asmk"], sys.modules["asmk.kmeans"]
+        del sys.modules["asmk.asmk_method"]
+
+    got = load_codebook(str(path))
+    np.testing.assert_array_equal(got, cb.centroids)
