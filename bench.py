@@ -257,11 +257,92 @@ def bench_train_step():
           None)
 
 
+_SP2_WORKER = r"""
+import json, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from must3r_tpu.config import DecoderConfig, EncoderConfig
+from must3r_tpu.engine import InferenceCore
+from must3r_tpu.engine.inference import view_positions
+from must3r_tpu.models import init_decoder, init_encoder
+from must3r_tpu.parallel import make_mesh
+
+h, w, p = 384, 512, 16
+enc_cfg = EncoderConfig(img_size=(h, w), patch_size=p, embed_dim=256,
+                        depth=2, num_heads=4)
+dec_cfg = DecoderConfig(img_size=(h, w), enc_embed_dim=256, patch_size=p,
+                        embed_dim=768, output_dim=p * p * 7, depth=2,
+                        num_heads=12)
+k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+enc_p, dec_p = init_encoder(k1, enc_cfg), init_decoder(k2, dec_cfg)
+n = (h // p) * (w // p)
+n_views = 8
+x = jax.random.normal(jax.random.PRNGKey(1), (1, n_views, n, 256),
+                      jnp.float32)
+pos = view_positions((h, w), p, batch_shape=(1, n_views))
+
+def run(core, iters=4):
+    # capacity for n_views + iters: the timed loop chains updates (the
+    # update donates its input memory, so it cannot be re-presented)
+    mem = core.new_memory(n_views + iters, (h, w))
+    mem, _ = core.update(mem, x[:, :2], pos[:, :2])
+    for i in range(2, n_views):
+        mem, _ = core.update(mem, x[:, i:i + 1], pos[:, i:i + 1])
+    toks = core.render(mem, x[:, :2], pos[:, :2])
+    float(jnp.sum(toks))                       # warmup + compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        mem, _ = core.update(mem, x[:, 7:8], pos[:, 7:8])
+        toks = core.render(mem, x[:, :2], pos[:, :2])
+    float(jnp.sum(toks))
+    return (time.perf_counter() - t0) / iters
+
+core1 = InferenceCore(enc_p, dec_p, enc_cfg, dec_cfg, dtype=jnp.float32,
+                      impl="chunked")
+t1 = run(core1)
+mesh = make_mesh(2, mp=2, axis_names=("dp", "sp"))
+core2 = InferenceCore(enc_p, dec_p, enc_cfg, dec_cfg, dtype=jnp.float32,
+                      impl="chunked", mesh=mesh)
+t2 = run(core2)
+print(json.dumps({"unsharded_ms": t1 * 1e3, "sp2_ms": t2 * 1e3,
+                  "overhead_x": t2 / t1}))
+"""
+
+
+def bench_sharded_sp2():
+    """SURVEY §5.7 sequence parallelism: update+render cost with the KV
+    memory sharded over a 2-way 'sp' mesh vs unsharded, on a virtual CPU
+    mesh (one real chip here; the sharded path's win is HBM capacity --
+    collections larger than one chip -- not single-host speed). Reported
+    value = sharded/unsharded wall ratio; < ~1.6 means the blockwise
+    combine + cross-shard append cost stays moderate."""
+    import subprocess
+    import sys as _sys
+
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
+    env.update({"JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+    out = subprocess.run([_sys.executable, "-c", _SP2_WORKER],
+                         cwd=os.path.dirname(os.path.abspath(__file__)),
+                         env=env, capture_output=True, text=True,
+                         timeout=1200)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+    if not line:
+        raise RuntimeError(f"sp2 worker failed: {out.stderr[-2000:]}")
+    r = json.loads(line[-1])
+    _emit("sharded_sp2_overhead_vs_unsharded", r["overhead_x"], "x", None)
+
+
 BENCHES = {
     "two_view_224": bench_two_view_224,
     "retrieval_50": bench_retrieval_50,
     "online_vo": bench_online_vo,
     "train_step": bench_train_step,
+    "sharded_sp2": bench_sharded_sp2,
     "offline_512": bench_offline_512,   # headline last
 }
 

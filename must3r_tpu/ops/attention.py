@@ -615,6 +615,10 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
                                     preferred_element_type=jnp.float32)
             s = s * scale
             s = jnp.where(allow_rows(lbl, slot), s, _NEG_INF)
+            # measured rejections (scripts/bench_ca_kernel.py, r3): bf16
+            # exp 55.7->53.5 TF/s; fixed-shift softmax (block-0 row max,
+            # no running max/correction) 55.7->57.3 -- inside run noise,
+            # not worth the overflow hazard. See docs/PERF.md.
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m - m_new)

@@ -225,53 +225,75 @@ def run_ours(params, enc_cfg, dec_cfg, res, dtype_name):
     pos = jnp.broadcast_to(jnp.asarray(_positions(h, w)), (N_VIEWS, n, 2))
 
     impl = "chunked" if dtype_name == "float32" else None
-    dec = params["decoder"]
 
-    @jax.jit
-    def pipeline(params):
-        x = encoder_forward(params["encoder"], enc_cfg, imgs, pos,
-                            dtype=dtype, impl=impl)
-        xb, pb = x[None], pos[None]
-        cap = round_capacity(8 * n, 512)
+    cap = round_capacity(8 * n, 512)
 
-        def fresh():
-            return init_memory(dec_cfg.depth, 1, dec_cfg.num_heads,
-                               dec_cfg.head_dim, cap, dtype=dtype)
+    def fresh():
+        return init_memory(dec_cfg.depth, 1, dec_cfg.num_heads,
+                           dec_cfg.head_dim, cap, dtype=dtype)
 
-        def upd(mem, sl, causal=False):
-            return decoder_update(dec, dec_cfg, mem, xb[:, sl], pb[:, sl],
-                                  causal=causal, dtype=dtype, impl=impl)[0]
+    def make_path(body):
+        # one jit PER PATH: a single program holding all four paths
+        # exceeds the remote compile service's request size limit
+        @jax.jit
+        def f(params, x):
+            # dec must come from the ARGUMENT: closing over the decoder
+            # pytree embeds every weight as an HLO literal (~1 GB program;
+            # the remote compile service rejects it with HTTP 413)
+            dec = params["decoder"]
+            xb, pb = x[None], pos[None]
 
-        def rend(mem, sl):
-            toks = decoder_render(dec, dec_cfg, mem, xb[:, sl], pb[:, sl],
-                                  dtype=dtype, impl=impl)
-            return decoder_head(dec, dec_cfg, toks, (h, w))[0]
+            def upd(mem, sl, causal=False):
+                return decoder_update(dec, dec_cfg, mem, xb[:, sl],
+                                      pb[:, sl], causal=causal,
+                                      dtype=dtype, impl=impl)[0]
 
-        all_v = slice(0, N_VIEWS)
-        # offline
+            def rend(mem, sl):
+                toks = decoder_render(dec, dec_cfg, mem, xb[:, sl],
+                                      pb[:, sl], dtype=dtype, impl=impl)
+                return decoder_head(dec, dec_cfg, toks, (h, w))[0]
+
+            return body(params, xb, pb, upd, rend)
+
+        return f
+
+    all_v = slice(0, N_VIEWS)
+
+    def p_offline(params, xb, pb, upd, rend):
         mem = upd(fresh(), slice(0, 2))
         mem = upd(mem, slice(2, 3))
-        pm = rend(mem, slice(0, 3))
-        # causal training blocks (2+2)
+        return rend(mem, slice(0, 3)), mem
+
+    def p_causal(params, xb, pb, upd, rend):
         memc = upd(fresh(), slice(0, 2), causal=True)
         memc = upd(memc, slice(2, 4), causal=True)
-        pm_causal = rend(memc, all_v)
-        # refinement of image label 1 on the offline memory
-        memr, _ = decoder_refine(dec, dec_cfg, mem, xb[:, 1:2], pb[:, 1:2],
-                                 jnp.asarray([1]), dtype=dtype, impl=impl)
-        pm_refine = rend(memr, slice(0, 3))
-        # video evict/relabel
+        return rend(memc, all_v)
+
+    def p_refine(params, xb, pb, upd, rend):
+        mem = upd(fresh(), slice(0, 2))
+        mem = upd(mem, slice(2, 3))
+        memr, _ = decoder_refine(dec, dec_cfg, mem, xb[:, 1:2],
+                                 pb[:, 1:2], jnp.asarray([1]),
+                                 dtype=dtype, impl=impl)
+        return rend(memr, slice(0, 3))
+
+    def p_video(params, xb, pb, upd, rend):
         memv = fresh()
         for i in range(3):
             memv = upd(memv, slice(i, i + 1))
         memv = evict_label(memv, 1)
         memv = upd(memv, slice(3, 4))
         memv = relabel(memv, 3, 1)
-        pm_video = rend(memv, all_v)
-        return x, {"pm": pm, "pm_causal": pm_causal,
-                   "pm_refine": pm_refine, "pm_video": pm_video}
+        return rend(memv, all_v)
 
-    x, pms = pipeline(params)
+    enc = jax.jit(lambda p: encoder_forward(p["encoder"], enc_cfg, imgs,
+                                            pos, dtype=dtype, impl=impl))
+    x = enc(params)
+    pm, _ = make_path(p_offline)(params, x)
+    pms = {"pm": pm,
+           "pm_causal": make_path(p_causal)(params, x),
+           "pm_refine": make_path(p_refine)(params, x),
+           "pm_video": make_path(p_video)(params, x)}
     return np.asarray(x), {k: np.asarray(v) for k, v in pms.items()}
 
 
