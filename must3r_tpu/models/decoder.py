@@ -37,6 +37,8 @@ from must3r_tpu.memory import INT32_MAX, MemoryState, commit_images
 from must3r_tpu.models.layers import (
     cross_attn,
     decoder_block,
+    decoder_block_post_ca,
+    decoder_block_pre_ca,
     init_decoder_block,
     init_layer_norm,
     init_linear,
@@ -47,6 +49,7 @@ from must3r_tpu.models.layers import (
     prepare_kv,
     self_attn,
 )
+from must3r_tpu.ops.attention import memory_cross_attention
 from must3r_tpu.ops.patch import unpatchify
 from must3r_tpu.ops.rope import make_rope_tables
 
@@ -191,26 +194,61 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
     # for the backward (~1.8 GB of HBM traffic per update step at
     # flagship training shapes) and was the main cause of the ~12%
     # training MFU (VERDICT r2; docs/PERF.md round-3 trace).
-    def body(x, inp):
-        blk, kv_l, li = inp
-        raw = x.reshape(b, t_new, cfg.embed_dim)
-        new_kv = prepare_kv(blk, raw, cfg.num_heads, cfg.ln_eps)
-        kv_att = jax.lax.dynamic_update_slice(
-            kv_l, new_kv.astype(kv_l.dtype), (0, 0, start, 0))
-        x = decoder_block(blk, x, kv_att, rope, labels, q_self=q_self,
-                          q_upper=q_upper, kv_len=kv_len,
-                          extra_mask=extra_mask, layer=None,
-                          num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
-                          impl=impl, mesh=mesh)
-        return x, (raw, new_kv)
-
-    if remat:
-        # remat=True/'full': recompute the whole block in the backward.
-        # remat='dots': save matmul outputs, recompute only elementwise
-        # (cheaper backward, moderately larger residuals).
+    if remat and mesh is None:
+        # Rematerialize the projections/MLP but keep the flash-CA kernel
+        # OUTSIDE the remat region: with the whole block checkpointed,
+        # the backward re-ran the exp-bound CA forward kernel per
+        # (layer, step) just to rebuild its custom-VJP residuals
+        # (kv_att, lse, out), tripling the kernel's softmax work. Saving
+        # those residuals instead costs ~20 MB/layer of HBM at flagship
+        # training shapes and removes the whole re-run.
         policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                   if remat == "dots" else None)
-        body = jax.checkpoint(body, policy=policy)
+
+        def pre(blk, x):
+            raw = x.reshape(b, t_new, cfg.embed_dim)
+            new_kv = prepare_kv(blk, raw, cfg.num_heads, cfg.ln_eps)
+            x1, qh = decoder_block_pre_ca(blk, x, rope,
+                                          num_heads=cfg.num_heads,
+                                          ln_eps=cfg.ln_eps, impl=impl)
+            return raw, new_kv, x1, qh
+
+        def post(blk, x1, o):
+            return decoder_block_post_ca(blk, x1, o, ln_eps=cfg.ln_eps)
+
+        pre = jax.checkpoint(pre, policy=policy)
+        post = jax.checkpoint(post, policy=policy)
+
+        def body(x, inp):
+            blk, kv_l, li = inp
+            raw, new_kv, x1, qh = pre(blk, x)
+            kv_att = jax.lax.dynamic_update_slice(
+                kv_l, new_kv.astype(kv_l.dtype), (0, 0, start, 0))
+            o = memory_cross_attention(qh, kv_att, labels, q_self=q_self,
+                                       q_upper=q_upper, kv_len=kv_len,
+                                       extra_mask=extra_mask, layer=None,
+                                       impl=impl)
+            x = post(blk, x1, o)
+            return x, (raw, new_kv)
+    else:
+        def body(x, inp):
+            blk, kv_l, li = inp
+            raw = x.reshape(b, t_new, cfg.embed_dim)
+            new_kv = prepare_kv(blk, raw, cfg.num_heads, cfg.ln_eps)
+            kv_att = jax.lax.dynamic_update_slice(
+                kv_l, new_kv.astype(kv_l.dtype), (0, 0, start, 0))
+            x = decoder_block(blk, x, kv_att, rope, labels, q_self=q_self,
+                              q_upper=q_upper, kv_len=kv_len,
+                              extra_mask=extra_mask, layer=None,
+                              num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
+                              impl=impl, mesh=mesh)
+            return x, (raw, new_kv)
+
+        if remat:
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if remat == "dots" else None)
+            body = jax.checkpoint(body, policy=policy)
 
     if unroll_layers:
         # python-level layer loop (serving): reads DMA straight out of the

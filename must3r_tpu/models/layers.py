@@ -212,6 +212,43 @@ def decoder_block(p, x, kv_packed, rope, labels, q_self=None, q_upper=None,
     return x
 
 
+def decoder_block_pre_ca(p, x, rope, num_heads: int = 12,
+                         ln_eps: float = 1e-6,
+                         impl: Optional[str] = None):
+    """SA half of `decoder_block` + the CA query projection.
+
+    Split out so the training path can rematerialize the projections
+    while keeping the flash-CA kernel itself OUTSIDE the remat region
+    (its recompute would re-run the whole exp-bound kernel per layer in
+    the backward; its custom VJP already recomputes p from the saved
+    lse, so re-running the forward kernel buys nothing).
+
+    Returns (x_after_sa [B,G,N,D], q [B,G,N,H,Dh]).
+    """
+    b, g, n, d = x.shape
+    xf = x.reshape(b * g, n, d)
+    rope_f = None
+    if rope is not None:
+        cos, sin = rope
+        rope_f = (cos.reshape(b * g, *cos.shape[-3:]),
+                  sin.reshape(b * g, *sin.shape[-3:]))
+    sa = self_attn(p["attn"], layer_norm(p["norm1"], xf, ln_eps),
+                   rope=rope_f, num_heads=num_heads, impl=impl)
+    x = x + sa.reshape(b, g, n, d)
+    xq = layer_norm(p["norm2"], x, ln_eps)
+    q = split_heads(linear(p["projq"], xq), num_heads)
+    return x, q
+
+
+def decoder_block_post_ca(p, x, o, ln_eps: float = 1e-6):
+    """CA out-projection + MLP half of `decoder_block`.
+
+    x: [B,G,N,D] (post-SA residual stream); o: [B,G,N,H,Dh] CA output.
+    """
+    x = x + linear(p["proj_ca"], merge_heads(o))
+    return x + mlp(p["mlp"], layer_norm(p["norm3"], x, ln_eps))
+
+
 # ---------------------------------------------------------------------------
 # Initialization (xavier-uniform linears, reference layers.py:23-33)
 # ---------------------------------------------------------------------------

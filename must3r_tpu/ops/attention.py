@@ -348,16 +348,30 @@ def _ca_hybrid_bwd(res, g):
     if row_pad:
         delta = jnp.pad(delta,
                         ((0, 0), (0, 0), (0, 0), (0, row_pad), (0, 0)))
-    dq = _ca_bwd_dq_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer,
-                           lse, delta, g)
-    dkv_l = _ca_bwd_dkv_pallas(q, kv5, labels, q_self, q_upper, kv_len,
+    if _fold_stripe(q.shape[1], q.shape[2]) is not None:
+        dq, dkv_l = _ca_bwd_fused_pallas(q, kv5, labels, q_self, q_upper,
+                                         kv_len, layer, lse, delta, g)
+    else:
+        dq = _ca_bwd_dq_pallas(q, kv5, labels, q_self, q_upper, kv_len,
                                layer, lse, delta, g)
-    dkv5 = jax.lax.dynamic_update_slice(
-        jnp.zeros_like(kv5), dkv_l[None].astype(kv5.dtype),
-        (jnp.asarray(layer, jnp.int32), 0, 0, 0, 0))
+        dkv_l = _ca_bwd_dkv_pallas(q, kv5, labels, q_self, q_upper, kv_len,
+                                   layer, lse, delta, g)
+    dkv5 = _expand_dkv(dkv_l, kv5, layer)
     zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
     return (dq, dkv5, zero(labels), zero(q_self), zero(q_upper),
             zero(jnp.asarray(0, jnp.int32)), zero(jnp.asarray(0, jnp.int32)))
+
+
+def _expand_dkv(dkv_l, kv5, layer):
+    """Scatter one layer's dK|dV into the cotangent of the [L, ...] cache.
+    L == 1 (the training path passes per-layer slices) skips the full
+    zeros + dynamic_update_slice -- at flagship shapes that was a 16 MB
+    zero-fill + copy per (layer, update) in the backward."""
+    if kv5.shape[0] == 1:
+        return dkv_l[None].astype(kv5.dtype)
+    return jax.lax.dynamic_update_slice(
+        jnp.zeros_like(kv5), dkv_l[None].astype(kv5.dtype),
+        (jnp.asarray(layer, jnp.int32), 0, 0, 0, 0))
 
 
 _ca_hybrid.defvjp(_ca_hybrid_fwd, _ca_hybrid_bwd)
@@ -386,13 +400,16 @@ def _ca_hybrid_ext_bwd(res, g):
     if row_pad:
         delta = jnp.pad(delta,
                         ((0, 0), (0, 0), (0, 0), (0, row_pad), (0, 0)))
-    dq = _ca_bwd_dq_pallas(q, kv5, labels, q_self, q_upper, kv_len, layer,
-                           lse, delta, g, ext=ext)
-    dkv_l = _ca_bwd_dkv_pallas(q, kv5, labels, q_self, q_upper, kv_len,
+    if _fold_stripe(q.shape[1], q.shape[2]) is not None:
+        dq, dkv_l = _ca_bwd_fused_pallas(q, kv5, labels, q_self, q_upper,
+                                         kv_len, layer, lse, delta, g,
+                                         ext=ext)
+    else:
+        dq = _ca_bwd_dq_pallas(q, kv5, labels, q_self, q_upper, kv_len,
                                layer, lse, delta, g, ext=ext)
-    dkv5 = jax.lax.dynamic_update_slice(
-        jnp.zeros_like(kv5), dkv_l[None].astype(kv5.dtype),
-        (jnp.asarray(layer, jnp.int32), 0, 0, 0, 0))
+        dkv_l = _ca_bwd_dkv_pallas(q, kv5, labels, q_self, q_upper, kv_len,
+                                   layer, lse, delta, g, ext=ext)
+    dkv5 = _expand_dkv(dkv_l, kv5, layer)
     zero = lambda x: np.zeros(x.shape, jax.dtypes.float0)  # noqa: E731
     return (dq, dkv5, zero(labels), zero(q_self), zero(q_upper),
             zero(jnp.asarray(0, jnp.int32)), zero(jnp.asarray(0, jnp.int32)),
@@ -1190,3 +1207,189 @@ def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
         interpret=interpret,
     )(*args)
     return dkv
+
+
+def _ca_bwd_fused_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
+                         lse, delta, g_out, block_k=None,
+                         interpret: bool = False, ext=None):
+    """Fused dQ + dK/dV backward in ONE kernel launch (folded-G layout).
+
+    The separate dQ and dK/dV kernels each re-DMA q/kv and recompute the
+    probability block p; at training shapes (196-token images, head_dim
+    64) the per-launch overhead dominated the math, so the backward paid
+    twice for work it could share. This kernel keeps the dK/dV grid
+    (b, h, kv-block) -- each program owns one KV block, recomputes
+    p/ds once, writes its block's dk|dv, and accumulates the running dq
+    directly in the (revisited) dq output block, which is scaled on the
+    final KV block of each (b, h). Requires the folded-G row layout
+    (one q row-block per (b, h)); callers fall back to the two kernels
+    otherwise.
+
+    Returns (dq [B,G,N,H,Dh], dkv [B,H,S,2*Dh]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, g, n, h, dh = q.shape
+    s_cap = kv.shape[3]
+    bk, _, _, _, len_and_layer, labels_tiled = _ca_prep(
+        q, kv, labels, kv_len, layer, block_k, None)
+    stripe = _fold_stripe(g, n)
+    assert stripe is not None, "fused CA backward requires folded-G rows"
+    scale = 1.0 / math.sqrt(dh)
+    nb = s_cap // bk
+
+    qt = _fold_rows(q.transpose(0, 1, 3, 2, 4), stripe)
+    gt = _fold_rows(g_out.transpose(0, 1, 3, 2, 4), stripe)
+    lse = _fold_rows(lse, stripe)       # rows already == stripe
+    delta = _fold_rows(delta, stripe)
+    bq = g * stripe
+
+    qg_rows = jnp.concatenate([qt, gt], axis=-1).reshape(b * h, bq, 2 * dh)
+    lse_rows = lse.reshape(b * h, 1, bq)
+    dlt_rows = delta.reshape(b * h, 1, bq)
+    has_ext = ext is not None
+    if has_ext:
+        ext_tiled, ext_gpad = _tile_ext_folded(ext, b, g, s_cap, bk)
+    else:
+        ext_tiled = None
+
+    def kernel(len_ref, qself_ref, qupper_ref, *refs):
+        if has_ext:
+            (qg_hbm, lse_hbm, dlt_hbm, kv_hbm, lbl_hbm, ext_hbm,
+             dq_ref, dkv_ref, qg_buf, lse_buf, dlt_buf, kv_buf, lbl_buf,
+             ext_buf, sem) = refs
+        else:
+            (qg_hbm, lse_hbm, dlt_hbm, kv_hbm, lbl_hbm,
+             dq_ref, dkv_ref, qg_buf, lse_buf, dlt_buf, kv_buf, lbl_buf,
+             sem) = refs
+        bi = pl.program_id(0)
+        hi = pl.program_id(1)
+        ki = pl.program_id(2)
+        length = len_ref[0]
+        li = len_ref[1]
+
+        @pl.when(ki * bk >= jnp.maximum(length, 1))
+        def _():
+            dkv_ref[...] = jnp.zeros_like(dkv_ref)
+
+        @pl.when(ki * bk < jnp.maximum(length, 1))
+        def _():
+            row = bi * h + hi
+            copies = [
+                pltpu.make_async_copy(
+                    kv_hbm.at[li, bi, hi, pl.ds(ki * bk, bk), :], kv_buf,
+                    sem.at[0]),
+                pltpu.make_async_copy(
+                    lbl_hbm.at[bi * nb + ki], lbl_buf, sem.at[1]),
+                pltpu.make_async_copy(qg_hbm.at[row], qg_buf, sem.at[2]),
+                pltpu.make_async_copy(lse_hbm.at[row], lse_buf, sem.at[3]),
+                pltpu.make_async_copy(dlt_hbm.at[row], dlt_buf, sem.at[4]),
+            ]
+            if has_ext:
+                copies.append(pltpu.make_async_copy(
+                    ext_hbm.at[bi * nb + ki], ext_buf, sem.at[5]))
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+            kb = kv_buf[:, :dh]
+            vb = kv_buf[:, dh:]
+            lbl = lbl_buf[0][None]                         # (1, bk)
+            qb = qg_buf[:, :dh]                            # (bq, Dh)
+            gb = qg_buf[:, dh:]
+            lse_r = lse_buf[0][:, None]                    # (bq, 1)
+            dlt_r = dlt_buf[0][:, None]
+            s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale
+            parts = []
+            for si in range(g):
+                qs = qself_ref[bi, si]
+                qu = qupper_ref[bi, si]
+                a = (lbl >= 0) & (lbl != qs) & (lbl < qu)
+                if has_ext:
+                    a = a & (ext_buf[si][None] == 0)
+                parts.append(jnp.broadcast_to(a, (stripe, bk)))
+            allow = jnp.concatenate(parts, axis=0)         # (bq, bk)
+            p = jnp.where(allow, jnp.exp(s - lse_r), 0.0)
+            dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            ds = p * (dp - dlt_r)
+            dv = jax.lax.dot_general(p.astype(gb.dtype), gb,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(ds.astype(qb.dtype), qb,
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dkv_ref[0, 0] = jnp.concatenate(
+                [dk * scale, dv], axis=-1).astype(dkv_ref.dtype)
+            dqc = jax.lax.dot(ds.astype(kb.dtype), kb,
+                              preferred_element_type=jnp.float32)
+
+            @pl.when(ki == 0)
+            def _():
+                dq_ref[0, 0, 0] = dqc
+
+            @pl.when(ki > 0)
+            def _():
+                dq_ref[0, 0, 0] = dq_ref[0, 0, 0] + dqc
+
+        # the dq block is revisited across ki (innermost); scale once on
+        # the final KV block -- even if that block is past the live length
+        @pl.when(ki == nb - 1)
+        def _():
+            dq_ref[0, 0, 0] = dq_ref[0, 0, 0] * scale
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.HBM)]
+    if has_ext:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+    out_specs = (
+        pl.BlockSpec((1, 1, 1, bq, dh), lambda bi, hi, ki, *_: (bi, 0, hi,
+                                                                0, 0)),
+        pl.BlockSpec((1, 1, bk, 2 * dh), lambda bi, hi, ki, *_: (bi, hi,
+                                                                 ki, 0)),
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, 1, h, bq, dh), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, s_cap, 2 * dh), kv.dtype),
+    )
+    scratch = [
+        pltpu.VMEM((bq, 2 * dh), q.dtype),
+        pltpu.VMEM((1, bq), jnp.float32),
+        pltpu.VMEM((1, bq), jnp.float32),
+        pltpu.VMEM((bk, 2 * dh), kv.dtype),
+        pltpu.VMEM((1, bk), jnp.int32),
+    ]
+    if has_ext:
+        scratch.append(pltpu.VMEM((ext_gpad, bk), jnp.int32))
+    scratch.append(pltpu.SemaphoreType.DMA((6,)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, h, nb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    args = [len_and_layer, q_self.astype(jnp.int32),
+            q_upper.astype(jnp.int32), qg_rows, lse_rows, dlt_rows, kv,
+            labels_tiled]
+    if has_ext:
+        args.append(ext_tiled)
+    dq, dkv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*args)
+    dq = _unfold_rows(dq, g, stripe)
+    if dq.shape[3] != n:
+        dq = dq[:, :, :, :n, :]
+    return dq.transpose(0, 1, 3, 2, 4).astype(q.dtype), dkv

@@ -528,3 +528,66 @@ def test_ca_kernels_folded_g_match_chunked(rng):
                                np.asarray(dk_want2), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(dkv2[..., dh:]),
                                np.asarray(dv_want2), rtol=2e-4, atol=2e-5)
+
+
+def test_ca_bwd_fused_matches_chunked(rng):
+    """The single-launch fused dQ+dK/dV backward kernel (interpret mode)
+    vs the chunked path's gradients: folded-G layout, causal masks,
+    live-length truncation, multiple KV blocks, with and without the
+    dropout extra_mask."""
+    from must3r_tpu.ops.attention import (
+        _ca_bwd_fused_pallas,
+        _ca_chunked,
+        _ca_pallas,
+        _fold_stripe,
+    )
+
+    b, g, n, h, dh, s = 2, 3, 24, 2, 32, 512
+    stripe = _fold_stripe(g, n)
+    assert stripe == 128
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    kv5 = jnp.asarray(rng.standard_normal((1, b, h, s, 2 * dh)),
+                      jnp.float32)
+    live = 300
+    labels = jnp.where(jnp.arange(s) < live, jnp.arange(s) // 60, -1)
+    labels = jnp.broadcast_to(labels[None], (b, s)).astype(jnp.int32)
+    extra = jnp.asarray(rng.random((b, g, s)) < 0.2)
+    q_self = jnp.broadcast_to(jnp.arange(2, 2 + g, dtype=jnp.int32)[None],
+                              (b, g))
+    q_upper = q_self
+    layer = jnp.int32(0)
+    g_out = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    k, v = jnp.split(kv5[0], 2, axis=-1)
+
+    for use_ext in (True, False):
+        em = extra if use_ext else None
+
+        def f(q_, k_, v_):
+            return _ca_chunked(q_, k_, v_, labels, q_self, q_upper,
+                               extra_mask=em)
+
+        out_ref, vjp = jax.vjp(f, q, k, v)
+        dq_want, dk_want, dv_want = vjp(g_out)
+        ext = extra.astype(jnp.int32) if use_ext else None
+        # block_k=128 forces multiple live KV blocks (tests the
+        # dq-accumulation across revisited grid steps + dead-block skip)
+        out, lse = _ca_pallas(q, kv5, labels, q_self, q_upper,
+                              jnp.int32(live), layer, block_k=128,
+                              interpret=True, return_stats=True, ext=ext)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                                   rtol=2e-5, atol=2e-5)
+        delta = jnp.sum(g_out * out, axis=-1).transpose(0, 1, 3, 2)[..., None]
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, 0), (0, stripe - n),
+                                (0, 0)))
+        dq, dkv = _ca_bwd_fused_pallas(q, kv5, labels, q_self, q_upper,
+                                       jnp.int32(live), layer, lse, delta,
+                                       g_out, block_k=128, interpret=True,
+                                       ext=ext)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_want),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dkv[..., :dh]),
+                                   np.asarray(dk_want), rtol=2e-4,
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dkv[..., dh:]),
+                                   np.asarray(dv_want), rtol=2e-4,
+                                   atol=2e-5)
