@@ -41,7 +41,14 @@ def linear(p, x, precision=None):
     precision: pass jax.lax.Precision.HIGHEST inside fp32 islands — at
     DEFAULT precision XLA computes even fp32 matmuls with bf16 passes
     (~1e-2 relative), which is fine for the bf16 production towers but not
-    for the head/postprocess islands the reference forces to fp32."""
+    for the head/postprocess islands the reference forces to fp32.
+
+    (Measured rejection: flattening the leading axes into one M dim
+    before the dot — [20,196,D] @ [D,D'] as [3920,D] — looked like it
+    should tile the MXU better than the batched-conv emitter XLA picks,
+    but the (8,128)-tiled layout pads each image's 196 rows separately,
+    so the flatten is a real relayout copy, not a bitcast: step time
+    152 -> 158 ms. docs/PERF.md round 3.)"""
     y = jnp.dot(x, p["w"].astype(x.dtype),
                 preferred_element_type=jnp.float32, precision=precision)
     if "b" in p:

@@ -69,9 +69,10 @@ def main():
     dec_cfg = dataclasses.replace(dec_cfg, causal=True)
     v = args.views
     nb = v // 5
+    remat = {"1": True, "0": False}.get(args.remat, args.remat)
     ts = TrainSettings(mem_batches=(5,) * nb, n_render=2,
                        dropout_p=args.dropout, dtype="bfloat16",
-                       remat=args.remat == "1")
+                       remat=remat)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params = {"encoder": init_encoder(k1, enc_cfg),
