@@ -206,9 +206,9 @@ def bench_train_step():
     import dataclasses
 
     from must3r_tpu.config import must3r_224_configs
-    from must3r_tpu.engine.train import (TrainSettings, cosine_schedule,
-                                         make_optimizer, make_train_step,
-                                         trainable_subset)
+    from must3r_tpu.engine.train import (TrainSettings, cast_frozen_params,
+                                         cosine_schedule, make_optimizer,
+                                         make_train_step, trainable_subset)
     from must3r_tpu.models import init_decoder, init_encoder
     from must3r_tpu.ops.patch import patchify_positions
 
@@ -222,6 +222,9 @@ def bench_train_step():
               "decoder": init_decoder(k2, dec_cfg)}
     opt = make_optimizer(cosine_schedule(1e-4, 10, 1000), weight_decay=0.05)
     opt_state = opt.init(trainable_subset(params, ts))
+    # production Trainer path: frozen encoder tower held in the compute
+    # dtype (removes the per-step fp32->bf16 param convert)
+    params = cast_frozen_params(params, ts)
     step = make_train_step(enc_cfg, dec_cfg, ts, opt)
 
     b, v, hw = 1, 20, 224

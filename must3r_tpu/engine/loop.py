@@ -235,8 +235,13 @@ class Trainer:
         if cfg.accum_iter > 1:
             opt = optax.MultiSteps(opt, every_k_schedule=cfg.accum_iter)
         self.optimizer = opt
-        from must3r_tpu.engine.train import trainable_subset
+        from must3r_tpu.engine.train import (cast_frozen_params,
+                                             trainable_subset)
         self.opt_state = opt.init(trainable_subset(params, ts))
+        # frozen towers live in the compute dtype on device (saves the
+        # per-step fp32->bf16 param convert); checkpoints stay fp32 --
+        # save() upcasts, try_resume() restores fp32 and re-casts
+        self.params = cast_frozen_params(self.params, ts)
         if mesh is not None:
             from must3r_tpu.parallel import replicate
             self.params = replicate(mesh, self.params)
@@ -278,9 +283,10 @@ class Trainer:
         import jax
         import numpy as np
 
+        from must3r_tpu.engine.train import upcast_params_fp32
         from must3r_tpu.parallel import process_count
 
-        params, opt = self.params, self.opt_state
+        params, opt = upcast_params_fp32(self.params), self.opt_state
         if process_count() > 1:
             # every process holds a full replica: fetch to host numpy
             # locally, then let EVERY rank enter the orbax save -- orbax
@@ -319,10 +325,16 @@ class Trainer:
         import jax
         import numpy as np
 
+        from must3r_tpu.engine.train import (cast_frozen_params,
+                                             upcast_params_fp32)
+
         # numpy template: every process restores host-locally (no orbax
-        # cross-host coordination), then re-replicates over the mesh
+        # cross-host coordination), then re-replicates over the mesh.
+        # Checkpoint files always store fp32 params (save() upcasts), so
+        # the template must be fp32 even when the live frozen tower is
+        # held in bf16; re-cast after the load.
         template = jax.tree.map(np.asarray,
-                                {"params": self.params,
+                                {"params": upcast_params_fp32(self.params),
                                  "opt_state": self.opt_state})
         try:
             params, _, _, opt_state, meta = load_checkpoint(last, template)
@@ -330,6 +342,7 @@ class Trainer:
             print(f"WARNING: cannot resume from {last} ({e}); "
                   "starting fresh")
             return False
+        params = cast_frozen_params(params, self.ts)
         if self.mesh is not None:
             from must3r_tpu.parallel import replicate
             params = replicate(self.mesh, params)

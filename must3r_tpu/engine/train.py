@@ -49,6 +49,36 @@ class TrainSettings:
     capacity_block: int = 1024
     remat: bool = True
     dtype: str = "bfloat16"
+    scan_steps: bool = False   # lax.scan over uniform update steps (below)
+
+
+def cast_frozen_params(params, ts: TrainSettings):
+    """Pre-cast the FROZEN encoder tower to the compute dtype.
+
+    The step math is unchanged -- encoder weights were cast to ts.dtype
+    inside every step anyway -- but holding the frozen tower in bf16
+    removes a ~300M-param fp32->bf16 convert from each step (~2.5 ms at
+    flagship sizes; the first ops in the round-3 step trace). No-op for
+    fp32 parity mode or when the encoder is finetuned (the optimizer
+    needs fp32 masters)."""
+    dt = jnp.dtype(ts.dtype)
+    if ts.finetune_encoder or dt == jnp.float32 or "encoder" not in params:
+        return params
+    enc = jax.tree.map(
+        lambda x: x.astype(dt)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        params["encoder"])
+    return {**params, "encoder": enc}
+
+
+def upcast_params_fp32(params):
+    """Inverse of :func:`cast_frozen_params` for checkpoint writes: files
+    always store fp32 (bf16 -> fp32 is exact), so checkpoints are
+    byte-compatible across compute-dtype settings."""
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        params)
 
 
 def make_forward(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
@@ -95,41 +125,83 @@ def make_forward(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
         mem = init_memory(dec_cfg.depth, b, dec_cfg.num_heads,
                           dec_cfg.head_dim, cap, dtype=dtype)
 
-        toks_first = []
-        cursor = 0
-        for i, g in enumerate(ts.mem_batches):
-            xb = x[:, cursor:cursor + g]
-            pb = pos[:, cursor:cursor + g]
-            extra = None
-            if ts.dropout_p > 0.0:
-                rng, sub = jax.random.split(rng)
-                if ts.dropout_mode == "temporary":
-                    extra = temporary_dropout_mask(
-                        sub, b, g, cap, ts.dropout_p, mem.protected_tokens)
+        def step_masks(mem, g, sub):
+            """(extra_mask, dead) for one update step's token dropout."""
+            if ts.dropout_p <= 0.0:
+                return None, None
+            if ts.dropout_mode == "temporary":
+                return temporary_dropout_mask(
+                    sub, b, g, cap, ts.dropout_p, mem.protected_tokens), None
+            # labels including this step's tokens, as decoder_update
+            # will write them
+            gidx = jnp.arange(g, dtype=jnp.int32)
+            newlab = jnp.broadcast_to(
+                (mem.n_imgs + gidx)[:, None], (g, n)).reshape(-1)
+            lab = jax.vmap(lambda l0: jax.lax.dynamic_update_slice(
+                l0, newlab, (mem.length,)))(mem.labels)
+            return permanent_dropout_masks(
+                sub, lab, mem.n_imgs, b, g, cap, ts.dropout_p,
+                mem.protected_tokens)
+
+        # Optional: run uniform schedules (equal causal blocks, no skip)
+        # as ONE lax.scan over update steps. MEASURED SLOWER at the
+        # flagship 224/20-view shape (161 vs 149 ms/step on hardware --
+        # the loop boundary blocks XLA's cross-step fusion of the
+        # backward's cotangent combines; see docs/PERF.md round 3), so
+        # the unrolled path is the default. scan_steps=True remains
+        # useful for LONG schedules (40+ views) where unrolled compile
+        # time grows linearly but step compile is O(1). Note the scan
+        # path draws per-step dropout keys as split(rng, n_steps) rather
+        # than sequential splits -- a different (equally valid) stream.
+        uniform = (ts.scan_steps
+                   and len(ts.mem_batches) > 1
+                   and len(set(ts.mem_batches)) == 1
+                   and ts.train_decoder_skip == 0)
+        if uniform:
+            ns, g = len(ts.mem_batches), ts.mem_batches[0]
+            xs = x[:, :n_mem].reshape(b, ns, g, n, x.shape[-1]).swapaxes(0, 1)
+            ps = pos[:, :n_mem].reshape(b, ns, g, n, 2).swapaxes(0, 1)
+            keys = jax.random.split(rng, ns)
+
+            def step_body(mem, inp):
+                xb, pb, sub = inp
+                extra, dead = step_masks(mem, g, sub)
+                mem, toks = decoder_update(params["decoder"], dec_cfg, mem,
+                                           xb, pb, causal=True,
+                                           extra_mask=extra, dtype=dtype,
+                                           remat=ts.remat, impl=impl)
+                if dead is not None:
+                    mem = dataclasses.replace(
+                        mem, labels=jnp.where(dead, -1, mem.labels))
+                return mem, toks
+
+            mem, toks_steps = jax.lax.scan(step_body, mem, (xs, ps, keys))
+            toks_first = [toks_steps.swapaxes(0, 1).reshape(
+                b, n_mem, n, toks_steps.shape[-1])]
+        else:
+            toks_first = []
+            cursor = 0
+            for i, g in enumerate(ts.mem_batches):
+                xb = x[:, cursor:cursor + g]
+                pb = pos[:, cursor:cursor + g]
+                if ts.dropout_p > 0.0:
+                    rng, sub = jax.random.split(rng)
                 else:
-                    # labels including this step's tokens, as decoder_update
-                    # will write them
-                    gidx = jnp.arange(g, dtype=jnp.int32)
-                    newlab = jnp.broadcast_to(
-                        (mem.n_imgs + gidx)[:, None], (g, n)).reshape(-1)
-                    lab = jax.vmap(lambda l0: jax.lax.dynamic_update_slice(
-                        l0, newlab, (mem.length,)))(mem.labels)
-                    extra, dead = permanent_dropout_masks(
-                        sub, lab, mem.n_imgs, b, g, cap, ts.dropout_p,
-                        mem.protected_tokens)
-            skipped = i < ts.train_decoder_skip
-            mem, toks = decoder_update(params["decoder"], dec_cfg, mem, xb,
-                                       pb, causal=True, extra_mask=extra,
-                                       dtype=dtype, remat=ts.remat,
-                                       impl=impl)
-            if ts.dropout_p > 0.0 and ts.dropout_mode == "permanent":
-                labels = jnp.where(dead, -1, mem.labels)
-                mem = dataclasses.replace(mem, labels=labels)
-            if skipped:
-                mem = jax.lax.stop_gradient(mem)
-            else:
-                toks_first.append(toks)
-            cursor += g
+                    sub = rng
+                extra, dead = step_masks(mem, g, sub)
+                skipped = i < ts.train_decoder_skip
+                mem, toks = decoder_update(params["decoder"], dec_cfg, mem,
+                                           xb, pb, causal=True,
+                                           extra_mask=extra, dtype=dtype,
+                                           remat=ts.remat, impl=impl)
+                if dead is not None:
+                    mem = dataclasses.replace(
+                        mem, labels=jnp.where(dead, -1, mem.labels))
+                if skipped:
+                    mem = jax.lax.stop_gradient(mem)
+                else:
+                    toks_first.append(toks)
+                cursor += g
 
         render_ids = batch["render_ids"]
         xr = jnp.take(x, render_ids, axis=1)

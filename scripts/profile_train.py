@@ -55,12 +55,15 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--remat", default="1")
     ap.add_argument("--views", type=int, default=20)
+    ap.add_argument("--scan_steps", action="store_true",
+                    help="lax.scan over update steps (A/B vs unrolled)")
     args = ap.parse_args()
 
     from must3r_tpu.config import must3r_224_configs
-    from must3r_tpu.engine.train import (TrainSettings, cosine_schedule,
-                                         make_loss_fn, make_optimizer,
-                                         make_train_step, trainable_subset)
+    from must3r_tpu.engine.train import (TrainSettings, cast_frozen_params,
+                                         cosine_schedule, make_loss_fn,
+                                         make_optimizer, make_train_step,
+                                         trainable_subset)
     from must3r_tpu.models import init_decoder, init_encoder
     from must3r_tpu.models.encoder import encoder_forward
     from must3r_tpu.ops.patch import patchify_positions
@@ -72,13 +75,15 @@ def main():
     remat = {"1": True, "0": False}.get(args.remat, args.remat)
     ts = TrainSettings(mem_batches=(5,) * nb, n_render=2,
                        dropout_p=args.dropout, dtype="bfloat16",
-                       remat=remat)
+                       remat=remat, scan_steps=args.scan_steps)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params = {"encoder": init_encoder(k1, enc_cfg),
               "decoder": init_decoder(k2, dec_cfg)}
     opt = make_optimizer(cosine_schedule(1e-4, 10, 1000), weight_decay=0.05)
     opt_state = opt.init(trainable_subset(params, ts))
+    # production path: Trainer holds the frozen tower in the compute dtype
+    params = cast_frozen_params(params, ts)
     step = make_train_step(enc_cfg, dec_cfg, ts, opt, donate=False)
     loss_fn = make_loss_fn(enc_cfg, dec_cfg, ts)
 

@@ -133,6 +133,36 @@ def test_permanent_dropout_monotone():
 # Train step
 # ---------------------------------------------------------------------------
 
+def test_uniform_scan_matches_unrolled(rng):
+    """scan_steps=True runs uniform mem-batch schedules as one lax.scan
+    (opt-in: compile-time lever for long schedules); the result must match
+    the default unrolled path exactly (dropout off -- the two paths draw
+    rng differently)."""
+    batch = _make_batch(rng, b=2, v=6)
+    key = jax.random.PRNGKey(3)
+    losses = {}
+    for scan in (False, True):
+        ts = TrainSettings(mem_batches=(3, 3), n_render=2, dropout_p=0.0,
+                           dtype="float32", scan_steps=scan)
+        loss_fn = make_loss_fn(ENC_CFG, DEC_CFG, ts, impl="chunked")
+        loss, _ = jax.jit(loss_fn)(_params(), batch, key)
+        losses[scan] = float(loss)
+    np.testing.assert_allclose(losses[False], losses[True], rtol=1e-6)
+
+    # gradients agree too
+    grads = {}
+    for scan in (False, True):
+        ts = TrainSettings(mem_batches=(3, 3), n_render=2, dropout_p=0.0,
+                           dtype="float32", scan_steps=scan)
+        loss_fn = make_loss_fn(ENC_CFG, DEC_CFG, ts, impl="chunked")
+        g = jax.jit(jax.grad(lambda p, b_, k: loss_fn(p, b_, k)[0]))(
+            _params(), batch, key)
+        grads[scan] = np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree.leaves(g["decoder"])])
+    np.testing.assert_allclose(grads[False], grads[True], rtol=2e-4,
+                               atol=1e-7)
+
+
 def test_train_step_decreases_loss(rng):
     ts = TrainSettings(mem_batches=(2, 2), n_render=2, dropout_p=0.1)
     params = _params()
