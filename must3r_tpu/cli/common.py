@@ -60,9 +60,9 @@ def load_or_init_model(chkpt: Optional[str], preset: str = "512",
     return params, enc_cfg, dec_cfg
 
 
-def make_core(params, enc_cfg, dec_cfg, amp: str = "bf16"):
+def make_core(params, enc_cfg, dec_cfg, amp: str = "bf16", kv_quant=None):
     from must3r_tpu.engine import InferenceCore
 
     dtype = jnp.bfloat16 if amp == "bf16" else jnp.float32
     return InferenceCore(params["encoder"], params["decoder"], enc_cfg,
-                         dec_cfg, dtype=dtype)
+                         dec_cfg, dtype=dtype, kv_quant=kv_quant)

@@ -39,6 +39,9 @@ def get_args_parser():
     p.add_argument("--conf_thrs", type=float, nargs="+",
                    default=[1.5, 3.0, 5.0])
     p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--kv_quant", default=None, choices=["fp8", "int8"],
+                   help="8-bit token memory (per-token scales): ~2x "
+                        "image capacity per chip")
     p.add_argument("--live", action="store_true", default=False,
                    help="serve a live viewer that streams the growing "
                         "pointcloud during reconstruction (viser role, "
@@ -69,7 +72,8 @@ def main(argv=None):
 
     params, enc_cfg, dec_cfg = load_or_init_model(
         args.chkpt, args.preset, img_size=args.image_size)
-    core = make_core(params, enc_cfg, dec_cfg, args.amp)
+    core = make_core(params, enc_cfg, dec_cfg, args.amp,
+                     kv_quant=args.kv_quant)
 
     retrieval_head = None
     if args.retrieval:

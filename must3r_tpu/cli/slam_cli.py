@@ -29,6 +29,9 @@ def get_args_parser():
     p.add_argument("--filtering_mode", default=None,
                    help="e.g. laplacian or laplacian-conf")
     p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--kv_quant", default=None, choices=["fp8", "int8"],
+                   help="8-bit token memory (per-token scales): ~2x "
+                        "keyframe capacity per chip")
     p.add_argument("--live", action="store_true", default=False,
                    help="serve a live map viewer, updated per keyframe "
                         "(the open3d GUI/viser role)")
@@ -92,7 +95,7 @@ def main(argv=None):
                      overlap_percentile=args.overlap_percentile,
                      num_init_frames=args.num_init_frames,
                      max_keyframes=args.max_keyframes,
-                     rerender=args.rerender)
+                     rerender=args.rerender, kv_quant=args.kv_quant)
     dtype = jnp.bfloat16 if args.amp == "bf16" else jnp.float32
     viewer = None
     if args.live:

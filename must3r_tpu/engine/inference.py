@@ -122,12 +122,24 @@ class InferenceCore:
     def __init__(self, enc_params, dec_params, enc_cfg: EncoderConfig,
                  dec_cfg: DecoderConfig, dtype=jnp.bfloat16,
                  enc_dtype=None, impl: Optional[str] = None,
-                 cast_params: bool = True, mesh=None):
+                 cast_params: bool = True, mesh=None,
+                 kv_quant: Optional[str] = None):
         """mesh: optional Mesh with an 'sp' axis. When given, memories from
         `new_memory` are sharded along their token axis over 'sp' and every
         update/refine/render routes through the all-gather-free sharded
         cross-attention (SURVEY §5.7) -- collections whose KV cache exceeds
-        one chip's HBM serve transparently; params are replicated."""
+        one chip's HBM serve transparently; params are replicated.
+
+        kv_quant: 'fp8' or 'int8' stores the token memory 8-bit with
+        per-token scales (memory.quantize_kv); the CA kernel dequantizes
+        in-flight. Halves the cache's HBM footprint (~2x keyframe capacity
+        per chip); compute stays bf16. Mutually exclusive with mesh (shard
+        OR quantize -- both at once is not supported)."""
+        if kv_quant is not None:
+            from must3r_tpu.memory import QUANT_DTYPES
+            assert kv_quant in QUANT_DTYPES, kv_quant
+            assert mesh is None, "kv_quant: unsharded serving only"
+        self.kv_quant = kv_quant
         if cast_params:
             # pre-cast weights to the compute dtype so the executables
             # don't re-convert 400M fp32 params on every dispatch.
@@ -186,6 +198,14 @@ class InferenceCore:
 
     # -- memory ------------------------------------------------------------
 
+    @property
+    def mem_dtype(self):
+        """Storage dtype of the token memory (8-bit when kv_quant is on)."""
+        if self.kv_quant is not None:
+            from must3r_tpu.memory import QUANT_DTYPES
+            return QUANT_DTYPES[self.kv_quant][0]
+        return self.dtype
+
     def new_memory(self, max_images: int, img_hw, batch: int = 1,
                    block: int = 1024) -> MemoryState:
         n = (img_hw[0] // self.dec_cfg.patch_size) * \
@@ -196,7 +216,7 @@ class InferenceCore:
             sp = self.mesh.shape.get("sp", 1)
             cap = round_capacity(cap, block * sp)
         mem = init_memory(self.dec_cfg.depth, batch, self.dec_cfg.num_heads,
-                          self.dec_cfg.head_dim, cap, dtype=self.dtype)
+                          self.dec_cfg.head_dim, cap, dtype=self.mem_dtype)
         if self.mesh is not None:
             from must3r_tpu.parallel import shard_memory
             mem = shard_memory(self.mesh, mem)
@@ -402,7 +422,7 @@ def offline_reconstruction_multi_ar(core: InferenceCore,
     cap = round_capacity(total_tokens + capacity_slack * max(
         n_tokens(i) for i in mem_views), 512)
     mem = init_memory(core.dec_cfg.depth, 1, core.dec_cfg.num_heads,
-                      core.dec_cfg.head_dim, cap, dtype=core.dtype)
+                      core.dec_cfg.head_dim, cap, dtype=core.mem_dtype)
 
     # update phase: joint init when the bucket matches, then 1-by-1
     init = mem_views[:init_num_images]
@@ -466,7 +486,7 @@ def make_fused_offline(core: InferenceCore, n_views: int, img_hw,
         x = encoder_forward(enc_params, enc_cfg, imgs, pos,
                             dtype=core.enc_dtype, impl=core.impl)
         mem = init_memory(dec_cfg.depth, 1, dec_cfg.num_heads,
-                          dec_cfg.head_dim, cap, dtype=core.dtype)
+                          dec_cfg.head_dim, cap, dtype=core.mem_dtype)
         mem, _ = decoder_update(dec_params, dec_cfg, mem, x[None, :g0],
                                 pos[None, :g0], causal=False,
                                 dtype=core.dtype, impl=core.impl)

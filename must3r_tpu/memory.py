@@ -32,22 +32,35 @@ per-element eviction patterns diverge).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 
+# Quantized KV storage (serving capacity lever, SURVEY §5.7): tokens are
+# stored in 8-bit with one float32 scale per (token, k|v half); the CA
+# kernel dequantizes in-flight. Halves the cache's HBM footprint -- a chip
+# that held a 100-keyframe memory in bf16 holds ~200 keyframes quantized.
+QUANT_DTYPES = {
+    "fp8": (jnp.float8_e4m3fn, 448.0),   # e4m3 max finite
+    "int8": (jnp.int8, 127.0),
+}
+
 
 @jax.tree_util.register_dataclass
 @dataclass
 class MemoryState:
-    kv: jax.Array               # [L, B, H, S, 2*Dh]
+    kv: jax.Array               # [L, B, H, S, 2*Dh]; bf16, or 8-bit quantized
     labels: jax.Array           # [B, S] int32; -1 = free
     length: jax.Array           # [] int32 high-water mark
     n_imgs: jax.Array           # [] int32 images ever committed
     protected_imgs: jax.Array   # [] int32
     protected_tokens: jax.Array  # [] int32
+    # [L, B, H, 2, S] float32 per-(token, k|v-half) dequant scales; None for
+    # full-precision storage. deq(x) = x * scale regardless of 8-bit format.
+    kv_scale: Optional[jax.Array] = None
 
     @property
     def capacity(self) -> int:
@@ -58,6 +71,53 @@ class MemoryState:
         return self.kv.shape[0]
 
 
+def _quant_max(dtype) -> Optional[float]:
+    for qdt, qmax in QUANT_DTYPES.values():
+        if jnp.dtype(dtype) == qdt:
+            return qmax
+    return None
+
+
+def quantize_kv(new_kv: jax.Array, dtype):
+    """Per-token symmetric quantization of packed (k | v) tokens.
+
+    Args:
+      new_kv: [..., T, 2*Dh] float tokens (k | v packed on features).
+      dtype: jnp.float8_e4m3fn or jnp.int8.
+    Returns:
+      (q [..., T, 2*Dh] dtype, scale [..., 2, T] float32) with
+      deq(q) = q * scale -- identical dequant rule for both formats.
+    """
+    qmax = _quant_max(dtype)
+    assert qmax is not None, dtype
+    dh = new_kv.shape[-1] // 2
+    x = new_kv.astype(jnp.float32)
+    halves, scales = [], []
+    for lo, hi in ((0, dh), (dh, 2 * dh)):
+        h = x[..., lo:hi]
+        amax = jnp.max(jnp.abs(h), axis=-1)                 # [..., T]
+        s = jnp.maximum(amax / qmax, 1e-30)
+        q = h / s[..., None]
+        if jnp.dtype(dtype) == jnp.int8:
+            q = jnp.round(q)
+        halves.append(q.astype(dtype))
+        scales.append(s)
+    return (jnp.concatenate(halves, axis=-1),
+            jnp.stack(scales, axis=-2))                     # [..., 2, T]
+
+
+def dequantize_kv(kv: jax.Array, scale: jax.Array, dtype=jnp.bfloat16):
+    """Inverse of :func:`quantize_kv` (XLA fallback path; the Pallas CA
+    kernel dequantizes in-flight instead).
+
+    kv: [..., S, 2*Dh] quantized; scale: [..., 2, S] -> [..., S, 2*Dh]."""
+    dh = kv.shape[-1] // 2
+    x = kv.astype(jnp.float32)
+    k = x[..., :dh] * scale[..., 0, :, None]
+    v = x[..., dh:] * scale[..., 1, :, None]
+    return jnp.concatenate([k, v], axis=-1).astype(dtype)
+
+
 def round_capacity(n_tokens: int, multiple: int = 1024) -> int:
     """Round a capacity up to the CA kernel's block size."""
     return -(-n_tokens // multiple) * multiple
@@ -65,7 +125,14 @@ def round_capacity(n_tokens: int, multiple: int = 1024) -> int:
 
 def init_memory(depth: int, batch: int, num_heads: int, head_dim: int,
                 capacity: int, dtype=jnp.bfloat16) -> MemoryState:
-    """Fresh empty memory (reference `_get_empty_memory`, decoder.py:141-147)."""
+    """Fresh empty memory (reference `_get_empty_memory`, decoder.py:141-147).
+
+    dtype may be a quantized storage format (jnp.float8_e4m3fn / jnp.int8,
+    see QUANT_DTYPES), in which case a per-token scale array is allocated."""
+    scale = None
+    if _quant_max(dtype) is not None:
+        scale = jnp.zeros((depth, batch, num_heads, 2, capacity),
+                          jnp.float32)
     return MemoryState(
         kv=jnp.zeros((depth, batch, num_heads, capacity, 2 * head_dim), dtype),
         labels=jnp.full((batch, capacity), -1, jnp.int32),
@@ -73,7 +140,15 @@ def init_memory(depth: int, batch: int, num_heads: int, head_dim: int,
         n_imgs=jnp.int32(0),
         protected_imgs=jnp.int32(0),
         protected_tokens=jnp.int32(0),
+        kv_scale=scale,
     )
+
+
+def _coerce_kv(mem: MemoryState, new_kv: jax.Array):
+    """(quantized values, scales-or-None) for tokens entering the cache."""
+    if mem.kv_scale is None:
+        return new_kv.astype(mem.kv.dtype), None
+    return quantize_kv(new_kv, mem.kv.dtype)
 
 
 def append_tokens(mem: MemoryState, new_kv: jax.Array,
@@ -81,32 +156,43 @@ def append_tokens(mem: MemoryState, new_kv: jax.Array,
     """Append G*N tokens at the high-water mark.
 
     Args:
-      new_kv: [L, B, H, T, 2*Dh] prepared tokens (T = G*N).
+      new_kv: [L, B, H, T, 2*Dh] prepared tokens (T = G*N), float; quantized
+        on entry when the cache stores 8-bit.
       new_labels: [B, T] int32 labels for the new tokens.
 
     Mirrors the reference's per-layer ``torch.concatenate`` grow
     (decoder.py:306,330) as one dynamic-update-slice at static shape.
     """
     t = new_kv.shape[3]
+    new_q, new_s = _coerce_kv(mem, new_kv)
     kv = jax.lax.dynamic_update_slice(
-        mem.kv, new_kv.astype(mem.kv.dtype), (0, 0, 0, mem.length, 0))
+        mem.kv, new_q, (0, 0, 0, mem.length, 0))
+    scale = mem.kv_scale
+    if new_s is not None:
+        scale = jax.lax.dynamic_update_slice(
+            scale, new_s, (0, 0, 0, 0, mem.length))
     labels = jax.vmap(
         lambda lab, new: jax.lax.dynamic_update_slice(lab, new, (mem.length,))
     )(mem.labels, new_labels.astype(jnp.int32))
     return MemoryState(kv=kv, labels=labels, length=mem.length + t,
                        n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
-                       protected_tokens=mem.protected_tokens)
+                       protected_tokens=mem.protected_tokens, kv_scale=scale)
 
 
 def write_tokens_at(mem: MemoryState, new_kv: jax.Array, offset) -> MemoryState:
     """Overwrite the KV values of tokens starting at ``offset`` (labels,
     length, counters unchanged). Used by the feedback rewrite and by
     refinement passes."""
+    new_q, new_s = _coerce_kv(mem, new_kv)
     kv = jax.lax.dynamic_update_slice(
-        mem.kv, new_kv.astype(mem.kv.dtype), (0, 0, 0, offset, 0))
+        mem.kv, new_q, (0, 0, 0, offset, 0))
+    scale = mem.kv_scale
+    if new_s is not None:
+        scale = jax.lax.dynamic_update_slice(
+            scale, new_s, (0, 0, 0, 0, offset))
     return MemoryState(kv=kv, labels=mem.labels, length=mem.length,
                        n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
-                       protected_tokens=mem.protected_tokens)
+                       protected_tokens=mem.protected_tokens, kv_scale=scale)
 
 
 def commit_images(mem: MemoryState, n_new_imgs: int,
@@ -129,7 +215,8 @@ def commit_images(mem: MemoryState, n_new_imgs: int,
         protected_imgs = new_prot
     return MemoryState(kv=mem.kv, labels=mem.labels, length=mem.length,
                        n_imgs=n_imgs, protected_imgs=protected_imgs,
-                       protected_tokens=protected_tokens)
+                       protected_tokens=protected_tokens,
+                       kv_scale=mem.kv_scale)
 
 
 def evict_label(mem: MemoryState, label) -> MemoryState:
@@ -139,7 +226,8 @@ def evict_label(mem: MemoryState, label) -> MemoryState:
     labels = jnp.where(mem.labels == jnp.int32(label), -1, mem.labels)
     return MemoryState(kv=mem.kv, labels=labels, length=mem.length,
                        n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
-                       protected_tokens=mem.protected_tokens)
+                       protected_tokens=mem.protected_tokens,
+                       kv_scale=mem.kv_scale)
 
 
 def relabel(mem: MemoryState, old_label, new_label) -> MemoryState:
@@ -149,7 +237,8 @@ def relabel(mem: MemoryState, old_label, new_label) -> MemoryState:
                        jnp.int32(new_label), mem.labels)
     return MemoryState(kv=mem.kv, labels=labels, length=mem.length,
                        n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
-                       protected_tokens=mem.protected_tokens)
+                       protected_tokens=mem.protected_tokens,
+                       kv_scale=mem.kv_scale)
 
 
 def update_label_tokens(mem: MemoryState, label, new_kv: jax.Array,
@@ -173,17 +262,25 @@ def update_label_tokens(mem: MemoryState, label, new_kv: jax.Array,
     hit = (mem.labels == jnp.int32(label))                 # [B, S]
     starts = jnp.argmax(hit, axis=1).astype(jnp.int32)     # [B]
     exists = jnp.any(hit, axis=1)                          # [B]
+    new_q, new_s = _coerce_kv(mem, new_kv)
 
     def upd(kv_b, new_b, start):
         return jax.lax.dynamic_update_slice(kv_b, new_b, (0, 0, start, 0))
 
-    kv = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(
-        mem.kv, new_kv.astype(mem.kv.dtype), starts)
+    kv = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)(mem.kv, new_q, starts)
     # only apply where the label exists; otherwise keep as-is
     kv = jnp.where(exists[None, :, None, None, None], kv, mem.kv)
+    scale = mem.kv_scale
+    if new_s is not None:
+        def upd_s(s_b, new_b, start):
+            return jax.lax.dynamic_update_slice(s_b, new_b, (0, 0, 0, start))
+
+        scale = jax.vmap(upd_s, in_axes=(1, 1, 0), out_axes=1)(
+            scale, new_s, starts)
+        scale = jnp.where(exists[None, :, None, None], scale, mem.kv_scale)
     return MemoryState(kv=kv, labels=mem.labels, length=mem.length,
                        n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
-                       protected_tokens=mem.protected_tokens)
+                       protected_tokens=mem.protected_tokens, kv_scale=scale)
 
 
 def refresh_label_from_segment(mem: MemoryState, old_label, seg_start,
@@ -213,9 +310,19 @@ def refresh_label_from_segment(mem: MemoryState, old_label, seg_start,
 
     kv = jax.vmap(refresh, in_axes=(1, 0), out_axes=1)(mem.kv, pos)
     kv = jnp.where(ok[None, :, None, None, None], kv, mem.kv)
+    scale = mem.kv_scale
+    if scale is not None:
+        def refresh_s(s_b, pos_b):
+            # s_b: [L, H, 2, S] one batch element
+            new_b = jax.lax.dynamic_slice(
+                s_b, (0, 0, 0, seg_start), (*s_b.shape[:3], n_tokens))
+            return jax.lax.dynamic_update_slice(s_b, new_b, (0, 0, 0, pos_b))
+
+        scale = jax.vmap(refresh_s, in_axes=(1, 0), out_axes=1)(scale, pos)
+        scale = jnp.where(ok[None, :, None, None], scale, mem.kv_scale)
     return MemoryState(kv=kv, labels=mem.labels, length=mem.length,
                        n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
-                       protected_tokens=mem.protected_tokens)
+                       protected_tokens=mem.protected_tokens, kv_scale=scale)
 
 
 def set_n_imgs(mem: MemoryState, n_imgs) -> MemoryState:
@@ -225,7 +332,8 @@ def set_n_imgs(mem: MemoryState, n_imgs) -> MemoryState:
     return MemoryState(kv=mem.kv, labels=mem.labels, length=mem.length,
                        n_imgs=jnp.int32(n_imgs),
                        protected_imgs=mem.protected_imgs,
-                       protected_tokens=mem.protected_tokens)
+                       protected_tokens=mem.protected_tokens,
+                       kv_scale=mem.kv_scale)
 
 
 def compact(mem: MemoryState) -> MemoryState:
@@ -247,11 +355,19 @@ def compact(mem: MemoryState) -> MemoryState:
 
     kv, labels = jax.vmap(pack, in_axes=(1, 0, 0), out_axes=(1, 0))(
         mem.kv, mem.labels, live)
+    scale = mem.kv_scale
+    if scale is not None:
+        def pack_s(s_b, live_b):
+            order = jnp.argsort(~live_b, stable=True)
+            return jnp.take(s_b, order, axis=3)
+
+        scale = jax.vmap(pack_s, in_axes=(1, 0), out_axes=1)(scale, live)
     new_len = jnp.max(jnp.sum(live, axis=1)).astype(jnp.int32)
     return MemoryState(kv=kv, labels=labels, length=new_len,
                        n_imgs=mem.n_imgs, protected_imgs=mem.protected_imgs,
                        protected_tokens=jnp.minimum(mem.protected_tokens,
-                                                    new_len))
+                                                    new_len),
+                       kv_scale=scale)
 
 
 def truncate(mem: MemoryState, length, n_imgs=None) -> MemoryState:
@@ -269,4 +385,5 @@ def truncate(mem: MemoryState, length, n_imgs=None) -> MemoryState:
                        protected_imgs=jnp.minimum(mem.protected_imgs,
                                                   n_imgs),
                        protected_tokens=jnp.minimum(mem.protected_tokens,
-                                                    jnp.int32(length)))
+                                                    jnp.int32(length)),
+                       kv_scale=mem.kv_scale)

@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from must3r_tpu.config import DecoderConfig, FeedbackType
-from must3r_tpu.memory import INT32_MAX, MemoryState, commit_images
+from must3r_tpu.memory import (INT32_MAX, MemoryState, commit_images,
+                               quantize_kv)
 from must3r_tpu.models.layers import (
     cross_attn,
     decoder_block,
@@ -138,6 +139,23 @@ def _update_masks(cfg, n_imgs, g: int, causal: bool):
     return q_self, q_upper
 
 
+def _write_step_kv(kv_l, scale_l, new_kv, start):
+    """Write one step's prepared tokens into a per-layer cache slice
+    ([B, H, S, 2*Dh]), quantizing on entry when the cache stores 8-bit
+    (scale_l [B, H, 2, S] given). Returns (kv_att, scale_att, new_q, new_s)
+    -- the attention-visible cache plus the (possibly quantized) values to
+    persist."""
+    if scale_l is None:
+        new_q = new_kv.astype(kv_l.dtype)
+        kv_att = jax.lax.dynamic_update_slice(kv_l, new_q, (0, 0, start, 0))
+        return kv_att, None, new_q, None
+    new_q, new_s = quantize_kv(new_kv, kv_l.dtype)
+    kv_att = jax.lax.dynamic_update_slice(kv_l, new_q, (0, 0, start, 0))
+    scale_att = jax.lax.dynamic_update_slice(scale_l, new_s,
+                                             (0, 0, 0, start))
+    return kv_att, scale_att, new_q, new_s
+
+
 # ---------------------------------------------------------------------------
 # Update (memory write) forward
 # ---------------------------------------------------------------------------
@@ -194,7 +212,9 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
     # for the backward (~1.8 GB of HBM traffic per update step at
     # flagship training shapes) and was the main cause of the ~12%
     # training MFU (VERDICT r2; docs/PERF.md round-3 trace).
+    quantized = mem.kv_scale is not None
     if remat and mesh is None:
+        assert not quantized, "quantized cache: serving paths only"
         # Rematerialize the projections/MLP but keep the flash-CA kernel
         # OUTSIDE the remat region: with the whole block checkpointed,
         # the backward re-ran the exp-bound CA forward kernel per
@@ -220,7 +240,7 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
         post = jax.checkpoint(post, policy=policy)
 
         def body(x, inp):
-            blk, kv_l, li = inp
+            blk, kv_l, scale_l, li = inp
             raw, new_kv, x1, qh = pre(blk, x)
             kv_att = jax.lax.dynamic_update_slice(
                 kv_l, new_kv.astype(kv_l.dtype), (0, 0, start, 0))
@@ -229,22 +249,23 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
                                        extra_mask=extra_mask, layer=None,
                                        impl=impl)
             x = post(blk, x1, o)
-            return x, (raw, new_kv)
+            return x, (raw, new_kv, None)
     else:
         def body(x, inp):
-            blk, kv_l, li = inp
+            blk, kv_l, scale_l, li = inp
             raw = x.reshape(b, t_new, cfg.embed_dim)
             new_kv = prepare_kv(blk, raw, cfg.num_heads, cfg.ln_eps)
-            kv_att = jax.lax.dynamic_update_slice(
-                kv_l, new_kv.astype(kv_l.dtype), (0, 0, start, 0))
+            kv_att, scale_att, new_q, new_s = _write_step_kv(
+                kv_l, scale_l, new_kv, start)
             x = decoder_block(blk, x, kv_att, rope, labels, q_self=q_self,
                               q_upper=q_upper, kv_len=kv_len,
                               extra_mask=extra_mask, layer=None,
                               num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
-                              impl=impl, mesh=mesh)
-            return x, (raw, new_kv)
+                              impl=impl, mesh=mesh, kv_scale=scale_att)
+            return x, (raw, new_q, new_s)
 
         if remat:
+            assert not quantized, "quantized cache: serving paths only"
             policy = (
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                 if remat == "dots" else None)
@@ -255,27 +276,33 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
         # persistent HBM cache via the in-kernel layer index -- no
         # per-layer slice copies at all. Compile time grows ~depth x.
         kv_buf = mem.kv
+        scale_buf = mem.kv_scale
         raws_l = []
         for li in range(depth):
             blk = _block_slice(params["blocks"], li)
             raw = x.reshape(b, t_new, cfg.embed_dim)
             new_kv = prepare_kv(blk, raw, cfg.num_heads, cfg.ln_eps)
+            if quantized:
+                new_q, new_s = quantize_kv(new_kv, kv_buf.dtype)
+                scale_buf = jax.lax.dynamic_update_slice(
+                    scale_buf, new_s[None], (li, 0, 0, 0, start))
+            else:
+                new_q = new_kv.astype(kv_buf.dtype)
             kv_buf = jax.lax.dynamic_update_slice(
-                kv_buf, new_kv[None].astype(kv_buf.dtype),
-                (li, 0, 0, start, 0))
+                kv_buf, new_q[None], (li, 0, 0, start, 0))
             x = decoder_block(blk, x, kv_buf, rope, labels, q_self=q_self,
                               q_upper=q_upper, kv_len=kv_len,
                               extra_mask=extra_mask, layer=jnp.int32(li),
                               num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
-                              impl=impl, mesh=mesh)
+                              impl=impl, mesh=mesh, kv_scale=scale_buf)
             raws_l.append(raw)
         raws = jnp.stack(raws_l)
-        new_kvs = None
+        new_kvs = new_ss = None
     else:
-        x, (raws, new_kvs) = jax.lax.scan(
-            body, x, (params["blocks"], mem.kv,
+        x, (raws, new_kvs, new_ss) = jax.lax.scan(
+            body, x, (params["blocks"], mem.kv, mem.kv_scale,
                       jnp.arange(depth)))
-        kv_buf = None
+        kv_buf = scale_buf = None
 
     if cfg.feedback != FeedbackType.NONE and "feedback" in params:
         offset = _feedback_offset(params, cfg, raws[-1])
@@ -283,20 +310,33 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
         new_kv = jax.vmap(
             lambda blk, r: prepare_kv(blk, r, cfg.num_heads, cfg.ln_eps))(
             _block_slice(params["blocks"], slice(0, depth - 1)), adj)
+        if quantized:
+            new_q, new_s = quantize_kv(new_kv, mem.kv.dtype)
+        else:
+            new_q, new_s = new_kv, None
         if new_kvs is None:
             kv_buf = jax.lax.dynamic_update_slice(
-                kv_buf, new_kv.astype(kv_buf.dtype), (0, 0, 0, start, 0))
+                kv_buf, new_q.astype(kv_buf.dtype), (0, 0, 0, start, 0))
+            if quantized:
+                scale_buf = jax.lax.dynamic_update_slice(
+                    scale_buf, new_s, (0, 0, 0, 0, start))
         else:
             new_kvs = jnp.concatenate(
-                [new_kv.astype(new_kvs.dtype), new_kvs[-1:]], axis=0)
+                [new_q.astype(new_kvs.dtype), new_kvs[-1:]], axis=0)
+            if quantized:
+                new_ss = jnp.concatenate([new_s, new_ss[-1:]], axis=0)
     if kv_buf is None:
         kv_buf = jax.lax.dynamic_update_slice(
             mem.kv, new_kvs.astype(mem.kv.dtype), (0, 0, 0, start, 0))
+    if quantized and scale_buf is None:
+        scale_buf = jax.lax.dynamic_update_slice(
+            mem.kv_scale, new_ss, (0, 0, 0, 0, start))
 
     new_mem = MemoryState(kv=kv_buf, labels=labels, length=kv_len,
                           n_imgs=mem.n_imgs,
                           protected_imgs=mem.protected_imgs,
-                          protected_tokens=mem.protected_tokens)
+                          protected_tokens=mem.protected_tokens,
+                          kv_scale=scale_buf if quantized else None)
     new_mem = commit_images(
         new_mem, g, tokens_per_img=n,
         protected_limit=cfg.protected_imgs if causal else None)
@@ -337,11 +377,17 @@ def decoder_refine(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
     new_kv = jax.lax.dynamic_slice(
         mem2.kv, (0, 0, 0, start, 0),
         (cfg.depth, b, cfg.num_heads, g * n, 2 * cfg.head_dim))
+    new_scale = None
+    if mem2.kv_scale is not None:
+        new_scale = jax.lax.dynamic_slice(
+            mem2.kv_scale, (0, 0, 0, 0, start),
+            (cfg.depth, b, cfg.num_heads, 2, g * n))
     # labels outside the (about-to-be-truncated) extension are the originals
     old_region = jax.lax.broadcasted_iota(
         jnp.int32, mem2.labels.shape, 1) < start
     orig_labels = jnp.where(old_region, mem2.labels, -1)
     kv = mem2.kv
+    scale = mem2.kv_scale
     old_labels = jnp.asarray(old_labels, jnp.int32)
     for gi in range(g):
         lab = old_labels[gi]
@@ -358,10 +404,20 @@ def decoder_refine(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
             (cfg.depth, b, cfg.num_heads, n, 2 * cfg.head_dim))
         blk = jnp.where(ok, blk, existing)
         kv = jax.lax.dynamic_update_slice(kv, blk, (0, 0, 0, pos0, 0))
+        if scale is not None:
+            sblk = jax.lax.dynamic_slice(
+                new_scale, (0, 0, 0, 0, gi * n),
+                (cfg.depth, b, cfg.num_heads, 2, n))
+            sexist = jax.lax.dynamic_slice(
+                scale, (0, 0, 0, 0, pos0),
+                (cfg.depth, b, cfg.num_heads, 2, n))
+            sblk = jnp.where(ok, sblk, sexist)
+            scale = jax.lax.dynamic_update_slice(scale, sblk,
+                                                 (0, 0, 0, 0, pos0))
     out = MemoryState(kv=kv, labels=orig_labels, length=start,
                       n_imgs=mem2.n_imgs - g,
                       protected_imgs=mem2.protected_imgs - g,
-                      protected_tokens=start)
+                      protected_tokens=start, kv_scale=scale)
     return out, toks
 
 
@@ -399,14 +455,16 @@ def decoder_render(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
             xg = x.reshape(b, 1, g * n, cfg.embed_dim)
             ca = cross_attn(blk, xg, mem.kv, mem.labels, kv_len=mem.length,
                             layer=li, num_heads=cfg.num_heads,
-                            ln_eps=cfg.ln_eps, impl=impl, mesh=mesh)
+                            ln_eps=cfg.ln_eps, impl=impl, mesh=mesh,
+                            kv_scale=mem.kv_scale)
             x = x + ca.reshape(b, g, n, cfg.embed_dim)
             x = x + mlp(blk["mlp"], layer_norm(blk["norm3"], x, cfg.ln_eps))
         else:
             x = decoder_block(blk, x, mem.kv, rope, mem.labels,
                               kv_len=mem.length, extra_mask=extra_mask,
                               layer=li, num_heads=cfg.num_heads,
-                              ln_eps=cfg.ln_eps, impl=impl, mesh=mesh)
+                              ln_eps=cfg.ln_eps, impl=impl, mesh=mesh,
+                              kv_scale=mem.kv_scale)
         return x, None
 
     x, _ = jax.lax.scan(body, x, (params["blocks"], jnp.arange(cfg.depth)))

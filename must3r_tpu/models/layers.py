@@ -141,7 +141,7 @@ def prepare_kv(p, y, num_heads: int = 12, ln_eps: float = 1e-6):
 def cross_attn(p, x, kv_packed, labels, q_self=None, q_upper=None,
                kv_len=None, extra_mask=None, layer=None, num_heads: int = 12,
                ln_eps: float = 1e-6, impl: Optional[str] = None, mesh=None,
-               sp_axis: str = "sp"):
+               sp_axis: str = "sp", kv_scale=None):
     """Memory cross-attention read: q = projq(norm2(x)); flash CA against the
     packed KV cache; out projection.
 
@@ -164,6 +164,7 @@ def cross_attn(p, x, kv_packed, labels, q_self=None, q_upper=None,
             sharded_memory_cross_attention,
         )
         assert extra_mask is None, "dropout masks: unsharded path only"
+        assert kv_scale is None, "quantized cache: unsharded path only"
         kvl = kv_packed
         if kv_packed.ndim == 5:
             kvl = jax.lax.dynamic_index_in_dim(kv_packed, layer, 0,
@@ -175,7 +176,7 @@ def cross_attn(p, x, kv_packed, labels, q_self=None, q_upper=None,
         o = memory_cross_attention(q, kv_packed, labels, q_self=q_self,
                                    q_upper=q_upper, kv_len=kv_len,
                                    extra_mask=extra_mask, layer=layer,
-                                   impl=impl)
+                                   impl=impl, kv_scale=kv_scale)
     return linear(p["proj_ca"], merge_heads(o))
 
 
@@ -195,7 +196,7 @@ def encoder_block(p, x, rope, num_heads: int, ln_eps: float = 1e-6,
 def decoder_block(p, x, kv_packed, rope, labels, q_self=None, q_upper=None,
                   kv_len=None, extra_mask=None, layer=None,
                   num_heads: int = 12, ln_eps: float = 1e-6,
-                  impl: Optional[str] = None, mesh=None):
+                  impl: Optional[str] = None, mesh=None, kv_scale=None):
     """Reference `CachedDecoderBlock`: SA + memory-CA + MLP, pre-norm.
 
     x: [B, G, N, D]. SA is per-image (B*G batched); CA reads the memory
@@ -214,7 +215,7 @@ def decoder_block(p, x, kv_packed, rope, labels, q_self=None, q_upper=None,
     x = x + cross_attn(p, x, kv_packed, labels, q_self=q_self,
                        q_upper=q_upper, kv_len=kv_len, extra_mask=extra_mask,
                        layer=layer, num_heads=num_heads, ln_eps=ln_eps,
-                       impl=impl, mesh=mesh)
+                       impl=impl, mesh=mesh, kv_scale=kv_scale)
     x = x + mlp(p["mlp"], layer_norm(p["norm3"], x, ln_eps))
     return x
 

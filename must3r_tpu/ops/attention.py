@@ -271,7 +271,7 @@ def pack_kv(k, v):
 
 def memory_cross_attention(q, kv, labels, q_self=None, q_upper=None,
                            kv_len=None, extra_mask=None, layer=None,
-                           impl: Optional[str] = None):
+                           impl: Optional[str] = None, kv_scale=None):
     """Label-masked flash cross-attention against the token memory.
 
     Args:
@@ -290,15 +290,23 @@ def memory_cross_attention(q, kv, labels, q_self=None, q_upper=None,
         is skipped (labels there must be -1). Defaults to S.
       extra_mask: optional bool [B, G, S]; True = blocked (token dropout).
       layer: optional scalar int32 indexing the L axis of a 5D ``kv``.
+      kv_scale: optional per-(token, k|v) dequant scales matching ``kv``'s
+        rank ([B, H, 2, S] or [L, B, H, 2, S]) for an 8-bit quantized cache
+        (memory.quantize_kv). The Pallas kernel dequantizes in-flight (the
+        cache is DMA'd at half the bytes of bf16); the chunked fallback
+        dequantizes the layer slice. Serving-only: this path does not
+        differentiate through the cache.
 
     Returns: [B, G, N, H, Dh].
     """
     b, g, n, h, dh = q.shape
     if layer is None:
         kv5 = kv[None]
+        scale5 = None if kv_scale is None else kv_scale[None]
         layer = jnp.int32(0)
     else:
         kv5 = kv
+        scale5 = kv_scale
         layer = jnp.asarray(layer, jnp.int32)
     s_cap = kv5.shape[3]
     if q_self is None:
@@ -309,14 +317,25 @@ def memory_cross_attention(q, kv, labels, q_self=None, q_upper=None,
         kv_len = jnp.int32(s_cap)
     impl = impl or _default_impl(dh)
     if impl == "pallas":
+        if scale5 is not None:
+            # quantized serving read: forward-only kernel with in-flight
+            # dequant (no VJP -- serving never differentiates the cache)
+            ext = (None if extra_mask is None
+                   else extra_mask.astype(jnp.int32))
+            return _ca_pallas(q, kv5, labels, q_self, q_upper, kv_len,
+                              layer, ext=ext, kv_scales=scale5)
         # differentiable: pallas forward + flash-backward kernels
         if extra_mask is None:
             return _ca_hybrid(q, kv5, labels, q_self, q_upper, kv_len,
                               layer)
         return _ca_hybrid_ext(q, kv5, labels, q_self, q_upper, kv_len,
                               layer, extra_mask.astype(jnp.int32))
-    k, v = jnp.split(jax.lax.dynamic_index_in_dim(kv5, layer, 0, False),
-                     2, axis=-1)
+    kv_l = jax.lax.dynamic_index_in_dim(kv5, layer, 0, False)
+    if scale5 is not None:
+        from must3r_tpu.memory import dequantize_kv
+        s_l = jax.lax.dynamic_index_in_dim(scale5, layer, 0, False)
+        kv_l = dequantize_kv(kv_l, s_l, q.dtype)
+    k, v = jnp.split(kv_l, 2, axis=-1)
     return _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask)
 
 
@@ -486,7 +505,7 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
 def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
                block_k: Optional[int] = None, block_q: Optional[int] = None,
                interpret: bool = False, return_stats: bool = False,
-               ext=None):
+               ext=None, kv_scales=None):
     """Flash CA kernel over the packed KV cache.
 
     The cache stays in HBM; (k|v) blocks are DMA'd as one contiguous stream
@@ -496,6 +515,13 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
 
     ``kv`` is the full per-layer cache [L, B, H, S, 2*Dh]; ``layer`` selects
     the L row in-kernel (zero-copy read of the persistent buffer).
+
+    ``kv_scales`` ([L, B, H, 2, S] float32, memory.quantize_kv layout)
+    enables the 8-bit quantized cache read: kv holds fp8/int8, blocks are
+    dequantized in-flight -- the k scale folds into the score columns after
+    the QK dot, the v scale into the probability columns before the PV dot
+    (both (rows, bk) elementwise ops, noise next to the MXU dots). Halves
+    the DMA bytes per token vs bf16.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -503,6 +529,8 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
     b, g, n, h, dh = q.shape
     if kv.ndim == 4:
         kv = kv[None]
+    if kv_scales is not None and kv_scales.ndim == 4:
+        kv_scales = kv_scales[None]
     if layer is None:
         layer = jnp.int32(0)
     s_cap = kv.shape[3]
@@ -546,18 +574,33 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
     else:
         ext_tiled = None
 
+    has_scl = kv_scales is not None
+    nb_cap = s_cap // bk
+    if has_scl:
+        # [L, B, H, 2, S] -> per-KV-block rows [L*B*H*nb, 2, bk] so one
+        # contiguous DMA fetches a block's (k, v) scale pair
+        l_dim = kv.shape[0]
+        scl_tiled = kv_scales.astype(jnp.float32).reshape(
+            l_dim, b, h, 2, nb_cap, bk).transpose(0, 1, 2, 4, 3, 5).reshape(
+            l_dim * b * h * nb_cap, 2, bk)
+    else:
+        scl_tiled = None
+
     def kernel(len_ref, qself_ref, qupper_ref,       # scalar prefetch
                q_ref, kv_hbm, lbl_hbm, *rest):       # inputs/outputs/scratch
         if has_ext:
-            ext_hbm, o_ref, *rest = rest
-        else:
-            o_ref, *rest = rest
+            ext_hbm, *rest = rest
+        if has_scl:
+            scl_hbm, *rest = rest
+        o_ref, *rest = rest
         if return_stats:
             lse_ref, *rest = rest
+        kv_buf, lbl_buf, *rest = rest
         if has_ext:
-            kv_buf, lbl_buf, ext_buf, sem = rest
-        else:
-            kv_buf, lbl_buf, sem = rest
+            ext_buf, *rest = rest
+        if has_scl:
+            scl_buf, *rest = rest
+        (sem,) = rest
         bi = pl.program_id(0)
         gi = pl.program_id(1)
         hi = pl.program_id(2)
@@ -584,11 +627,19 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
             return pltpu.make_async_copy(
                 ext_hbm.at[row], ext_buf.at[slot], sem.at[slot, 2])
 
+        def dma_s(slot, idx):
+            row = ((li * b + bi) * h + hi) * nb_cap + idx
+            return pltpu.make_async_copy(
+                scl_hbm.at[row], scl_buf.at[slot],
+                sem.at[slot, 3 if has_ext else 2])
+
         def start(slot, idx):
             dma_kv(slot, idx).start()
             dma_l(slot, idx).start()
             if has_ext:
                 dma_e(slot, idx).start()
+            if has_scl:
+                dma_s(slot, idx).start()
 
         def allow_rows(lbl, eslot):
             """(rows_or_1, bk) bool mask from per-image label predicates."""
@@ -623,14 +674,23 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
             dma_l(slot, i).wait()
             if has_ext:
                 dma_e(slot, i).wait()
+            if has_scl:
+                dma_s(slot, i).wait()
 
             kb = kv_buf[slot, :, :dh]                      # (bk, Dh)
             vb = kv_buf[slot, :, dh:]
+            if has_scl:
+                # 8-bit cache: cast up for the MXU; scales fold into the
+                # score/probability COLUMNS (per key token)
+                kb = kb.astype(jnp.bfloat16)
+                vb = vb.astype(jnp.bfloat16)
             lbl = lbl_buf[slot]                            # (1, bk)
             # bf16 MXU dot, fp32 accumulation (fp32 operands = 1/4 rate)
             s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             s = s * scale
+            if has_scl:
+                s = s * scl_buf[slot, 0:1, :]              # k dequant
             s = jnp.where(allow_rows(lbl, slot), s, _NEG_INF)
             # measured rejections (scripts/bench_ca_kernel.py, r3): bf16
             # exp 55.7->53.5 TF/s; fixed-shift softmax (block-0 row max,
@@ -640,6 +700,8 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
             p = jnp.exp(s - m_new)
             corr = jnp.exp(m - m_new)
             l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            if has_scl:
+                p = p * scl_buf[slot, 1:2, :]              # v dequant
             acc = acc * corr + jnp.dot(p.astype(vb.dtype), vb,
                                        preferred_element_type=jnp.float32)
             return (m_new, l, acc)
@@ -674,10 +736,11 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
         # take sub-tile-aligned slices of small int arrays
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
+    n_streams = 2 + int(has_ext) + int(has_scl)
     scratch = [
         pltpu.VMEM((2, bk, 2 * dh), kv.dtype),
         pltpu.VMEM((2, 1, bk), jnp.int32),
-        pltpu.SemaphoreType.DMA((2, 3 if has_ext else 2)),
+        pltpu.SemaphoreType.DMA((2, n_streams)),
     ]
     args = [len_and_layer, q_self, q_upper, qt, kv, labels_tiled]
     if has_ext:
@@ -686,6 +749,10 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
             (2, ext_gpad, bk) if stripe is not None else (2, 1, bk),
             jnp.int32))
         args.append(ext_tiled)
+    if has_scl:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))
+        scratch.insert(-1, pltpu.VMEM((2, 2, bk), jnp.float32))
+        args.append(scl_tiled)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, g_grid, h, n_qb),

@@ -64,6 +64,9 @@ class SlamConfig:
     num_init_frames: int = 2
     max_keyframes: int = 256
     keep_memory: bool = False
+    # 'fp8' / 'int8': 8-bit token memory with per-token scales -- ~2x
+    # keyframe capacity per chip at equal HBM (memory.quantize_kv)
+    kv_quant: Optional[str] = None
 
 
 class Must3rSLAM:
@@ -246,10 +249,14 @@ class Must3rSLAM:
             self._n_tokens = (hw[0] // p) * (hw[1] // p)
             cap = round_capacity(self.cfg.max_keyframes * self._n_tokens,
                                  1024)
+            mem_dtype = self.dtype
+            if self.cfg.kv_quant is not None:
+                from must3r_tpu.memory import QUANT_DTYPES
+                mem_dtype = QUANT_DTYPES[self.cfg.kv_quant][0]
             self.mem = init_memory(self.dec_cfg.depth, 1,
                                    self.dec_cfg.num_heads,
                                    self.dec_cfg.head_dim, cap,
-                                   dtype=self.dtype)
+                                   dtype=mem_dtype)
             self.committed_len = 0
             self.committed_imgs = 0
 

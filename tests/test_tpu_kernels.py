@@ -172,3 +172,32 @@ def test_ca_flash_backward_matches_chunked_on_tpu():
         bf = np.asarray(b_, np.float32).ravel()
         cos = af @ bf / max(np.linalg.norm(af) * np.linalg.norm(bf), 1e-12)
         assert cos > 0.999, cos
+
+
+@pytest.mark.parametrize("quant", ["fp8", "int8"])
+def test_ca_pallas_quantized_cache_on_tpu(quant):
+    """8-bit KV cache with in-flight dequant (Mosaic fp8/int8 VMEM loads +
+    scale folding) vs dequantize-then-attend on hardware."""
+    from must3r_tpu.memory import QUANT_DTYPES, dequantize_kv, quantize_kv
+    from must3r_tpu.ops.attention import INT32_MAX, memory_cross_attention
+
+    b, g, n, h, dh, s = 1, 2, 768, 12, 64, 2048
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.bfloat16)
+    kv = jnp.asarray(rng.standard_normal((b, h, s, 2 * dh)) * 2,
+                     jnp.float32)
+    kv_q, scales = quantize_kv(kv, QUANT_DTYPES[quant][0])
+    labels = np.full((b, s), -1, np.int32)
+    labels[:, :1536] = rng.integers(0, 4, size=(b, 1536))
+    labels = jnp.asarray(labels)
+    q_self = jnp.asarray([[0, -2]], jnp.int32)
+    q_upper = jnp.asarray([[INT32_MAX, 3]], jnp.int32)
+    got = memory_cross_attention(q, kv_q, labels, q_self=q_self,
+                                 q_upper=q_upper, kv_len=jnp.int32(1536),
+                                 impl="pallas", kv_scale=scales)
+    want = memory_cross_attention(
+        q, dequantize_kv(kv_q, scales, jnp.bfloat16), labels,
+        q_self=q_self, q_upper=q_upper, kv_len=jnp.int32(1536),
+        impl="chunked")
+    err = float(jnp.abs(got.astype(jnp.float32)
+                        - want.astype(jnp.float32)).max())
+    assert err < 0.05, err
