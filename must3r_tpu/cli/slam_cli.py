@@ -110,8 +110,18 @@ def main(argv=None):
     loader = AutoMultiLoader(args.input, subsamp=args.subsamp)
     t0 = time.time()
     n = 0
-    for frame, fid, cam in loader:
-        out = slam(frame, fid, cam, return_maps=False)
+    # one-frame lookahead: the next frame's encoder dispatches before the
+    # current frame's blocking fetch (speculative pipelining -- the encode
+    # overlaps the host's KD-tree/keyframe work; slam/model.py __call__)
+    it = iter(loader)
+    cur = next(it, None)
+    while cur is not None:
+        nxt = next(it, None)
+        frame, fid, cam = cur
+        out = slam(frame, fid, cam, return_maps=False,
+                   next_frame=nxt[0] if nxt is not None else None,
+                   next_frame_id=nxt[1] if nxt is not None else None)
+        cur = nxt
         n += 1
         if viewer is not None and out.get("iskeyframe"):
             import numpy as np

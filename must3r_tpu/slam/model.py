@@ -90,6 +90,10 @@ class Must3rSLAM:
         # frame loop is exactly [1 dispatch, 1 small packed fetch]
         self._frame_fn = jax.jit(self._frame_step, donate_argnums=(1,),
                                  static_argnums=(4,))
+        self._frame_from_x_fn = jax.jit(self._frame_step_from_x,
+                                        donate_argnums=(1,),
+                                        static_argnums=(4, 5))
+        self._spec_encode_fn = jax.jit(self._spec_encode)
         self._rollback_fn = jax.jit(
             lambda mem, length, n: truncate(mem, length, n),
             donate_argnums=(0,))
@@ -155,6 +159,30 @@ class Must3rSLAM:
             img = (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
         mem, pm = self._step(params, mem, img, pos)
         post = self._post(pm, seq_focal, is_first)
+        return self._pack_outputs(mem, post)
+
+    def _spec_encode(self, params, img, pos):
+        """Speculative encoder program: memory/decision-independent, so the
+        NEXT frame's encode can be dispatched before the current frame's
+        keyframe decision (it runs on-device while the host fetches,
+        queries the KD-tree and decides -- see __call__'s next_frame)."""
+        if img.dtype == jnp.uint8:
+            img = (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        return encoder_forward(params["encoder"], self.enc_cfg, img, pos,
+                               dtype=self.dtype, impl=self.impl)
+
+    def _frame_step_from_x(self, params, mem, x, pos, hw, is_first: bool,
+                           seq_focal):
+        """`_frame_step` with a speculatively pre-encoded frame."""
+        mem, toks = decoder_update(params["decoder"], self.dec_cfg, mem,
+                                   x[:, None], pos[:, None], causal=False,
+                                   dtype=self.dtype, unroll_layers=True,
+                                   impl=self.impl)
+        pm = decoder_head(params["decoder"], self.dec_cfg, toks, hw)
+        post = self._post(pm[0, 0], seq_focal, is_first)
+        return self._pack_outputs(mem, post)
+
+    def _pack_outputs(self, mem, post):
         packed = jnp.concatenate([
             jnp.stack([post["focal"], post["conf_median"],
                        post["conf_mean"]]),
@@ -195,6 +223,7 @@ class Must3rSLAM:
 
     def reset(self):
         self.mem: Optional[MemoryState] = None
+        self._spec = None                 # speculative (id, hw, x_enc)
         self._hw = None
         self._n_tokens = None
         self.committed_len = 0
@@ -282,16 +311,31 @@ class Must3rSLAM:
         return float(np.percentile(dists, cfg.overlap_percentile))
 
     def __call__(self, frame: np.ndarray, frame_id: int, cam_id: int = 0,
-                 return_maps: bool = True):
+                 return_maps: bool = True, next_frame=None,
+                 next_frame_id=None):
         """Process one frame. Returns a dict with pose/conf/focal/keyframe
         plus (with return_maps) full-resolution pointmaps -- skip the maps
         on latency-critical loops: fetching them costs an extra host
-        round trip per frame."""
+        round trip per frame.
+
+        next_frame / next_frame_id: speculative pipelining (the reference
+        has no equivalent; SURVEY §3.3 host/device choreography). When the
+        caller can peek one frame ahead, the NEXT frame's encoder program
+        is dispatched BEFORE this frame's blocking fetch: the encode is
+        memory- and decision-independent, so it runs on-device while the
+        host fetches, queries the overlap KD-tree and decides
+        keyframe-ness -- hiding the encoder entirely from the host-visible
+        frame latency."""
         cfg = self.cfg
         prep = preprocess_frame(frame, cfg.res,
                                 patch_size=self.dec_cfg.patch_size,
                                 square=self.square, normalize=False)
         hw = prep["img"].shape[:2]
+        spec_next = None
+        if next_frame is not None and next_frame_id is not None:
+            spec_next = (next_frame_id, preprocess_frame(
+                next_frame, cfg.res, patch_size=self.dec_cfg.patch_size,
+                square=self.square, normalize=False))
 
         # re-initialization: until num_init_frames frames are seen, the map
         # restarts from scratch including all previous init frames
@@ -309,8 +353,11 @@ class Must3rSLAM:
             self.all_images.append(prep)
 
         results = None
-        for p_img, p_id in replay + [(prep, frame_id)]:
-            results = self._process_one(p_img, p_id, return_maps, cam_id)
+        seq = replay + [(prep, frame_id)]
+        for i, (p_img, p_id) in enumerate(seq):
+            results = self._process_one(
+                p_img, p_id, return_maps, cam_id,
+                spec_next=spec_next if i == len(seq) - 1 else None)
         return results
 
     def _positions(self, hw):
@@ -325,7 +372,7 @@ class Must3rSLAM:
         return self._pos_cache[hw]
 
     def _process_one(self, prep, frame_id, return_maps: bool = True,
-                     cam_id: int = 0):
+                     cam_id: int = 0, spec_next=None):
         cfg = self.cfg
         hw = prep["img"].shape[:2]
         self._ensure_memory(hw)
@@ -336,9 +383,27 @@ class Must3rSLAM:
         pos = self._positions(hw)
 
         old_len, old_imgs = self.committed_len, self.committed_imgs
-        self.mem, packed, maps = self._frame_fn(
-            self.params, self.mem, img, pos, is_first,
-            float(self._seq_focal(cam_id)))
+        spec = getattr(self, "_spec", None)
+        if spec is not None and spec[0] == frame_id and spec[1] == hw:
+            # speculatively encoded last frame-step: skip the encoder
+            self.mem, packed, maps = self._frame_from_x_fn(
+                self.params, self.mem, spec[2], pos, hw, is_first,
+                float(self._seq_focal(cam_id)))
+            self._spec = None
+        else:
+            if spec is not None:
+                self._spec = None         # stale (id or shape mismatch)
+            self.mem, packed, maps = self._frame_fn(
+                self.params, self.mem, img, pos, is_first,
+                float(self._seq_focal(cam_id)))
+        if spec_next is not None:
+            # dispatch the NEXT frame's encode before this frame's blocking
+            # fetch: it runs on-device during the host's decision work
+            n_id, n_prep = spec_next
+            n_hw = n_prep["img"].shape[:2]
+            x_next = self._spec_encode_fn(self.params, n_prep["img"][None],
+                                          self._positions(n_hw))
+            self._spec = (n_id, n_hw, x_next)
         post = self._unpack(np.asarray(packed), hw)   # the ONE host fetch
 
         c2w = post["c2w"]

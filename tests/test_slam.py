@@ -265,3 +265,30 @@ def test_video_long_sequence_compaction_parity(rng):
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(tight["conf"], loose["conf"],
                                rtol=2e-4, atol=2e-5)
+
+
+def test_slam_speculative_pipelining_parity(slam_params, rng):
+    """next_frame speculation (encode dispatched before the current frame's
+    fetch) must not change ANY output: the encoder is memory- and
+    decision-independent, so the pipelined run is bitwise-equivalent."""
+    frames = _frames(rng, 5)
+    outs = {}
+    for spec in (False, True):
+        cfg = SlamConfig(res=32, num_init_frames=2, max_keyframes=16,
+                         kf_x_subsamp=2, keyframe_overlap_thr=0.05)
+        slam = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg,
+                          dtype=jnp.float32, impl="chunked")
+        res = []
+        for i, f in enumerate(frames):
+            nxt = frames[i + 1] if spec and i + 1 < len(frames) else None
+            res.append(slam(f, i, return_maps=False,
+                            next_frame=nxt,
+                            next_frame_id=i + 1 if nxt is not None else None))
+        outs[spec] = (res, list(slam.keyframes),
+                      np.stack(slam.all_poses))
+    assert outs[False][1] == outs[True][1]            # same keyframes
+    np.testing.assert_allclose(outs[False][2], outs[True][2],
+                               rtol=1e-6, atol=1e-6)  # same trajectory
+    for a, b in zip(outs[False][0], outs[True][0]):
+        assert a["iskeyframe"] == b["iskeyframe"]
+        np.testing.assert_allclose(a["focal"], b["focal"], rtol=1e-6)
