@@ -25,6 +25,15 @@ def get_args_parser():
     p.add_argument("--memory_batch_views", type=int, default=None)
     p.add_argument("--causal", action="store_true", default=False)
     p.add_argument("--render_once", action="store_true", default=False)
+    p.add_argument("--max_render_count", type=int, default=None,
+                   help="cap rendered views per step by random subsampling"
+                        " (reference train.py:445-448)")
+    p.add_argument("--disable_render", action="store_true", default=False,
+                   help="skip the render pass; loss over first-pass views"
+                        " only (reference train.py:449)")
+    p.add_argument("--random_blocks", action="store_true", default=False,
+                   help="non-causal randomized grouping (reference"
+                        " train.py:177-186), power-of-two quantized")
     # optimization
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=2)
@@ -151,6 +160,9 @@ def main(argv=None):
         min_memory_num_views=args.min_memory_num_views,
         memory_batch_views=args.memory_batch_views, causal=args.causal,
         render_once=args.render_once, keep_freq=args.keep_freq,
+        max_render_count=args.max_render_count,
+        disable_render=args.disable_render,
+        random_blocks=args.random_blocks,
         layer_decay=args.layer_decay,
         print_freq=args.print_freq, seed=args.seed,
         output_dir=args.output_dir)

@@ -60,8 +60,10 @@ def select_schedule(rng: np.random.Generator, nimgs: int,
                     memory_num_views: int, min_memory_num_views: int,
                     progress: float, causal: bool,
                     memory_batch_views: Optional[int],
-                    render_once: bool, sample_memory_num_views: int
-                    ) -> Schedule:
+                    render_once: bool, sample_memory_num_views: int,
+                    max_render_count: Optional[int] = None,
+                    disable_render: bool = False,
+                    random_blocks: bool = False) -> Schedule:
     """Pick this iteration's schedule (mirrors train.py:132-216).
 
     Structure of a sample: [no-grad memory prefix (to_skip)] +
@@ -69,6 +71,14 @@ def select_schedule(rng: np.random.Generator, nimgs: int,
     curriculum regime (more dataset views than memory_num_views) the usable
     view count grows with progress and the no-grad prefix is random; the
     reference shadows `memory_num_views` with the per-step grad view count.
+
+    max_render_count caps the rendered-view count by random subsampling
+    (reference train.py:445-448); disable_render drops the render pass
+    entirely (train.py:449, loss over first-pass views only).
+    random_blocks enables the reference's non-causal randomized grouping
+    (train.py:177-186: random block sizes in [1, memory_batch_views]) --
+    sampled sizes are quantized to powers of two so the distinct-schedule
+    (and therefore compiled-program) alphabet stays bounded.
     """
     to_skip = 0
     if memory_num_views < nimgs:
@@ -95,6 +105,14 @@ def select_schedule(rng: np.random.Generator, nimgs: int,
                 out.append(min(memory_batch_views, count - sum(out)))
         elif causal:
             out = [count]
+        elif random_blocks and memory_batch_views:
+            # reference non-causal grouping: random sizes in
+            # [1, memory_batch_views], quantized to powers of two
+            while sum(out) != count:
+                s = int(rng.integers(1, min(memory_batch_views,
+                                            count - sum(out)) + 1))
+                s = 1 << (s.bit_length() - 1)       # floor to power of two
+                out.append(min(s, count - sum(out)))
         else:
             f = min(min_memory_num_views, count) if lead_pair else 1
             out = [f] + [1] * (count - f)
@@ -118,6 +136,11 @@ def select_schedule(rng: np.random.Generator, nimgs: int,
         render = render + [int(v) for v in pool]
         if not render:
             render = [n_views - 1]
+    if max_render_count is not None and len(render) > max_render_count:
+        render = [int(v) for v in
+                  rng.choice(render, size=max_render_count, replace=False)]
+    if disable_render:
+        render = []
     return Schedule(n_views=n_views,
                     mem_batches=tuple(skip_blocks + mem_blocks),
                     skip_batches=len(skip_blocks),
@@ -198,6 +221,9 @@ class TrainLoopConfig:
     memory_batch_views: Optional[int] = None
     causal: bool = True
     render_once: bool = False
+    max_render_count: Optional[int] = None
+    disable_render: bool = False
+    random_blocks: bool = False
     keep_freq: int = 5
     print_freq: int = 20
     seed: int = 777
@@ -368,7 +394,10 @@ class Trainer:
                 self.rng, nimgs, cfg.memory_num_views,
                 cfg.min_memory_num_views, progress, cfg.causal,
                 cfg.memory_batch_views, cfg.render_once,
-                batch.get("memory_num_views", nimgs))
+                batch.get("memory_num_views", nimgs),
+                max_render_count=cfg.max_render_count,
+                disable_render=cfg.disable_render,
+                random_blocks=cfg.random_blocks)
 
             needed = ("img", "pos", "pts3d", "camera_pose", "valid_mask",
                       "sky_mask", "portrait", "is_metric_scale")

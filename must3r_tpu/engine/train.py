@@ -203,15 +203,21 @@ def make_forward(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
                     toks_first.append(toks)
                 cursor += g
 
-        render_ids = batch["render_ids"]
-        xr = jnp.take(x, render_ids, axis=1)
-        pr = jnp.take(pos, render_ids, axis=1)
-        toks_r = decoder_render(params["decoder"], dec_cfg, mem, xr, pr,
-                                dtype=dtype, impl=impl)
-
-        toks_all = jnp.concatenate(toks_first + [toks_r], axis=1)
         first_ids = jnp.arange(n_skip, n_mem, dtype=jnp.int32)
-        loss_ids = jnp.concatenate([first_ids, render_ids.astype(jnp.int32)])
+        if ts.n_render > 0:
+            render_ids = batch["render_ids"]
+            xr = jnp.take(x, render_ids, axis=1)
+            pr = jnp.take(pos, render_ids, axis=1)
+            toks_r = decoder_render(params["decoder"], dec_cfg, mem, xr, pr,
+                                    dtype=dtype, impl=impl)
+            toks_all = jnp.concatenate(toks_first + [toks_r], axis=1)
+            loss_ids = jnp.concatenate([first_ids,
+                                        render_ids.astype(jnp.int32)])
+        else:
+            # disable_render (reference train.py:449): loss over the
+            # first-pass (update) views only
+            toks_all = jnp.concatenate(toks_first, axis=1)
+            loss_ids = first_ids
         # portrait views predict at their true aspect then transpose back
         # (reference landscape_only head semantics)
         portrait = batch.get("portrait")

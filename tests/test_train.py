@@ -261,3 +261,61 @@ def test_pose_metrics_perfect_and_noisy(rng):
     bad[:, :3, 3] = rng.standard_normal((v, 3)) * 5
     out2 = pose_metrics(bad, poses)
     assert out2["auc@30"] < out["auc@30"]
+
+
+# ---------------------------------------------------------------------------
+# Schedule selection (reference select_batch flags)
+# ---------------------------------------------------------------------------
+
+def test_schedule_max_render_count_and_disable():
+    from must3r_tpu.engine.loop import select_schedule
+    g = np.random.default_rng(0)
+    sched = select_schedule(g, nimgs=8, memory_num_views=8,
+                            min_memory_num_views=2, progress=0.5,
+                            causal=True, memory_batch_views=4,
+                            render_once=False, sample_memory_num_views=8,
+                            max_render_count=2)
+    assert len(sched.render_ids) == 2
+    sched = select_schedule(g, nimgs=8, memory_num_views=8,
+                            min_memory_num_views=2, progress=0.5,
+                            causal=True, memory_batch_views=4,
+                            render_once=False, sample_memory_num_views=8,
+                            disable_render=True)
+    assert sched.render_ids == ()
+
+
+def test_schedule_random_blocks_pow2():
+    """Non-causal randomized grouping: blocks sum to the view count and
+    sizes come from the power-of-two alphabet (bounded compile set)."""
+    from must3r_tpu.engine.loop import select_schedule
+    g = np.random.default_rng(1)
+    sizes = set()
+    for _ in range(20):
+        sched = select_schedule(g, nimgs=9, memory_num_views=9,
+                                min_memory_num_views=2, progress=0.0,
+                                causal=False, memory_batch_views=6,
+                                render_once=False,
+                                sample_memory_num_views=9,
+                                random_blocks=True)
+        assert sum(sched.mem_batches) == sched.n_views
+        sizes.update(sched.mem_batches)
+    assert sizes <= {1, 2, 4}
+    assert len(sizes) > 1            # actually randomized
+
+
+def test_forward_no_render_loss(rng):
+    """disable_render: n_render=0 computes the loss over first-pass views
+    only and still trains."""
+    from must3r_tpu.engine.train import make_loss_fn
+    ts = TrainSettings(mem_batches=(2, 2), n_render=0, dropout_p=0.0,
+                       dtype="float32")
+    batch = _make_batch(rng, b=1, v=4)
+    batch["render_ids"] = jnp.zeros((0,), jnp.int32)
+    loss_fn = make_loss_fn(ENC_CFG, DEC_CFG, ts, impl="chunked")
+    loss, details = jax.jit(loss_fn)(_params(), batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: loss_fn(p, batch, jax.random.PRNGKey(0))[0])(
+        _params())
+    gn = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(
+        g["decoder"]))
+    assert gn > 0
