@@ -8,6 +8,16 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+# Honor $JAX_PLATFORMS even when the hosting environment preloaded jax
+# (e.g. a sitecustomize that registers a remote TPU plugin): as long as no
+# backend has been initialized yet, jax.config can still switch platforms.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat and jax.config.jax_platforms != _plat:
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass  # backend already live; keep whatever the host chose
+
 
 def enable_compile_cache():
     """Persistent XLA compilation cache shared by every entry point

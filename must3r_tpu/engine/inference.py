@@ -196,6 +196,32 @@ class InferenceCore:
                                                     pmask),
             static_argnums=(2,))
 
+        def scan_updates(p, mem, xs, ps):
+            # V sequential 1-view updates inside ONE program (lax.scan):
+            # removes per-view dispatch latency on mixed-AR collections
+            # where the uniform-bucket `make_fused_offline` cannot apply
+            # (reference runtime list loop, inference.py:403-449).
+            def step(m, inp):
+                xi, pi = inp
+                m, _ = decoder_update(p, dec_cfg, m, xi[None, None],
+                                      pi[None, None], causal=False,
+                                      dtype=dtype, impl=impl, mesh=mesh)
+                return m, None
+
+            mem, _ = jax.lax.scan(step, mem, (xs, ps))
+            return mem
+
+        self._update_scan = jax.jit(scan_updates, donate_argnums=(1,))
+
+        def render_post(p, mem, x, pos, pmask, hw, compute_cam):
+            toks = decoder_render(p, dec_cfg, mem, x, pos, dtype=dtype,
+                                  impl=impl, mesh=mesh)
+            pm = decoder_head(p, dec_cfg, toks, hw, pmask)
+            return postprocess(pm[0], dec_cfg.pointmaps_activation,
+                               compute_cam=compute_cam)
+
+        self._render_post = jax.jit(render_post, static_argnums=(5, 6))
+
     # -- memory ------------------------------------------------------------
 
     @property
@@ -251,6 +277,28 @@ class InferenceCore:
 
     def render(self, mem, x_enc, pos):
         return self._render(self.dec_params, mem, x_enc, pos)
+
+    def update_seq(self, mem, xs, ps, chunk: int = 8):
+        """Sequential 1-view updates over xs [V, N, Denc] with the view
+        loop INSIDE the program: full `chunk`-view lax.scan dispatches
+        plus single-view remainder. Bounded program alphabet -- one scan
+        executable per (chunk, N) pair; order-identical to calling
+        `update` view-by-view."""
+        v = xs.shape[0]
+        i = 0
+        while i + chunk <= v:
+            mem = self._update_scan(self.dec_params, mem,
+                                    xs[i:i + chunk], ps[i:i + chunk])
+            i += chunk
+        for j in range(i, v):
+            mem, _ = self.update(mem, xs[j][None, None], ps[j][None, None])
+        return mem
+
+    def render_post(self, mem, x_enc, pos, portrait_mask, img_hw,
+                    compute_cam: bool = True):
+        """Render + head + postprocess fused into one dispatch."""
+        return self._render_post(self.dec_params, mem, x_enc, pos,
+                                 portrait_mask, tuple(img_hw), compute_cam)
 
     def head(self, tokens, img_hw, portrait_mask=None):
         if portrait_mask is None:
@@ -381,7 +429,9 @@ def offline_reconstruction_multi_ar(core: InferenceCore,
                                     init_num_images: int = 2,
                                     encode_bs: int = 8, render_bs: int = 8,
                                     compute_cam: bool = True,
-                                    capacity_slack: int = 4):
+                                    capacity_slack: int = 4,
+                                    fused: bool = True,
+                                    update_chunk: int = 8):
     """Offline reconstruction over a mixed-aspect-ratio collection.
 
     Per-bucket compiled executables + host routing replace the reference's
@@ -391,6 +441,12 @@ def offline_reconstruction_multi_ar(core: InferenceCore,
     processes mixed-AR init jointly; the sequential fallback differs only
     in that image 0 does not see image 1 during its own update), then
     render per bucket.
+
+    With `fused` (default), consecutive same-shape update runs go through
+    `core.update_seq` (the view loop rides a lax.scan inside one program,
+    `update_chunk` views per dispatch) and each render chunk runs
+    render+head+postprocess as ONE dispatch -- same results, ~2V fewer
+    device round-trips on a tunneled or multi-host setup.
 
     Args:
       views: dicts with 'img' [H, W, 3] (landscape storage), 'portrait'.
@@ -435,8 +491,26 @@ def offline_reconstruction_multi_ar(core: InferenceCore,
     else:
         for i in init:
             mem, _ = core.update(mem, x[i][None, None], pos[i][None, None])
-    for i in rest:
-        mem, _ = core.update(mem, x[i][None, None], pos[i][None, None])
+    # sequential updates over `rest`, scan-fusing each run of consecutive
+    # same-shape views (order must be preserved: every update attends to
+    # the memory built so far)
+    i0 = 0
+    while i0 < len(rest):
+        shape0 = views[rest[i0]]["img"].shape[:2]
+        i1 = i0
+        while (i1 < len(rest)
+               and views[rest[i1]]["img"].shape[:2] == shape0):
+            i1 += 1
+        run = rest[i0:i1]
+        if fused and len(run) >= 2:
+            xs = jnp.stack([x[i] for i in run])
+            ps = jnp.stack([pos[i] for i in run])
+            mem = core.update_seq(mem, xs, ps, chunk=update_chunk)
+        else:
+            for i in run:
+                mem, _ = core.update(mem, x[i][None, None],
+                                     pos[i][None, None])
+        i0 = i1
 
     # render phase per bucket, padded chunks
     results = [None] * v
@@ -448,12 +522,16 @@ def offline_reconstruction_multi_ar(core: InferenceCore,
             chunk_p = chunk + [chunk[-1]] * pad
             xb = jnp.stack([x[i] for i in chunk_p])[None]
             pb = jnp.stack([pos[i] for i in chunk_p])[None]
-            toks = core.render(mem, xb, pb)
-            pm = core.head(toks, shape,
-                           jnp.asarray([bool(views[i].get("portrait"))
-                                        for i in chunk_p])[None])
-            out = postprocess(pm[0], core.dec_cfg.pointmaps_activation,
-                              compute_cam=compute_cam)
+            pmask = jnp.asarray([bool(views[i].get("portrait"))
+                                 for i in chunk_p])[None]
+            if fused:
+                out = core.render_post(mem, xb, pb, pmask, shape,
+                                       compute_cam=compute_cam)
+            else:
+                toks = core.render(mem, xb, pb)
+                pm = core.head(toks, shape, pmask)
+                out = postprocess(pm[0], core.dec_cfg.pointmaps_activation,
+                                  compute_cam=compute_cam)
             for j, i in enumerate(chunk):
                 results[i] = {k: np.asarray(val[j]) for k, val in
                               out.items()}

@@ -58,6 +58,24 @@ def test_multi_ar_matches_single_bucket(core, rng):
                                atol=2e-4)
 
 
+def test_multi_ar_fused_matches_unfused(core, rng):
+    """The fused path (scan-fused update runs + one-dispatch
+    render/head/postprocess) is a dispatch-count optimization only: results
+    must match the per-step path. 7 same-shape rest views exercise one full
+    scan chunk (3) plus a remainder, across a shape switch."""
+    views = ([_view(rng, (48, 64)) for _ in range(6)]
+             + [_view(rng, (32, 64)) for _ in range(3)])
+    out_f = offline_reconstruction_multi_ar(core, views, render_bs=2,
+                                            fused=True, update_chunk=3)
+    out_u = offline_reconstruction_multi_ar(core, views, render_bs=2,
+                                            fused=False)
+    for rf, ru in zip(out_f, out_u):
+        for k in rf:
+            np.testing.assert_allclose(np.asarray(rf[k]),
+                                       np.asarray(ru[k]),
+                                       rtol=2e-4, atol=2e-4, err_msg=k)
+
+
 def test_phase_timer_and_memstats():
     t = PhaseTimer()
     with t.phase("a"):
