@@ -17,9 +17,9 @@ def get_args_parser():
     p.add_argument("--chkpt", default=None,
                    help="checkpoint dir (native) or .pth (reference)")
     p.add_argument("--preset", default="512", choices=["224", "512", "tiny"])
-    p.add_argument("--input", required=True,
-                   help="image folder or list file")
-    p.add_argument("--output_dir", required=True)
+    p.add_argument("--input", default=None,
+                   help="image folder or list file (omit with --web)")
+    p.add_argument("--output_dir", default=None)
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--num_mem_images", type=int, default=20)
     p.add_argument("--init_num_images", type=int, default=2)
@@ -49,6 +49,14 @@ def get_args_parser():
     p.add_argument("--live_port", type=int, default=8642)
     p.add_argument("--live_hold", type=float, default=0.0,
                    help="keep the viewer up N seconds after finishing")
+    p.add_argument("--web", action="store_true", default=False,
+                   help="serve the interactive web demo (upload images in "
+                        "the browser, run, explore, download GLB/PLY -- "
+                        "the reference gradio app's workflow, "
+                        "demo/gradio.py:354-513) instead of batch mode")
+    p.add_argument("--web_port", type=int, default=8643)
+    p.add_argument("--web_hold", type=float, default=None,
+                   help="serve for N seconds then exit (default: forever)")
     return p
 
 
@@ -61,6 +69,35 @@ def main(argv=None):
     from must3r_tpu.tools.viz import scene_to_html
     from must3r_tpu.tools.image import list_images, load_images
 
+    params, retrieval_head = None, None
+    if args.web:
+        params, enc_cfg, dec_cfg = load_or_init_model(
+            args.chkpt, args.preset, img_size=args.image_size)
+        core = make_core(params, enc_cfg, dec_cfg, args.amp,
+                         kv_quant=args.kv_quant)
+        if args.retrieval:
+            from must3r_tpu.retrieval.model import \
+                convert_torch_retrieval_checkpoint
+            retrieval_head = convert_torch_retrieval_checkpoint(
+                args.retrieval)
+        from must3r_tpu.demo.webapp import WebDemo
+
+        app = WebDemo(core, image_size=args.image_size, port=args.web_port,
+                      retrieval_head=retrieval_head)
+        try:
+            if args.web_hold is not None:
+                time.sleep(args.web_hold)
+            else:
+                while True:
+                    time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
+        app.close()
+        return
+
+    if not args.input or not args.output_dir:
+        raise SystemExit("--input and --output_dir are required "
+                         "(or use --web)")
     os.makedirs(args.output_dir, exist_ok=True)
     if os.path.isdir(args.input):
         paths = list_images(args.input)

@@ -32,7 +32,8 @@ def gather_scene_points(scene, conf_thr: float = 3.0,
     Re-thresholding is pure host work on the SceneState -- no re-inference
     (reference gradio.py:132-156)."""
     pts_all, col_all = [], []
-    for i in range(scene.pts3d.shape[0]):
+    # len() not .shape[0]: mixed-AR scenes hold per-view lists (ragged)
+    for i in range(len(scene.pts3d)):
         msk = scene.conf[i] > conf_thr
         if not msk.any():
             continue

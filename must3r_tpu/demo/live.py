@@ -33,7 +33,7 @@ import numpy as np
 
 _MAGIC = 0x4D553352  # 'MU3R'
 
-_PAGE = """<!doctype html>
+_PAGE_TMPL = """<!doctype html>
 <html><head><meta charset="utf-8"><title>must3r-tpu live</title>
 <style>html,body{margin:0;height:100%;background:#111;overflow:hidden}
 canvas{display:block}#hud{position:fixed;top:8px;left:8px;color:#9a9;
@@ -41,8 +41,12 @@ font:12px monospace}
 #ctl{position:fixed;top:8px;right:8px;color:#9a9;font:12px monospace;
 background:#1c1c1cd0;padding:8px 10px;border-radius:6px}
 #ctl input[type=range]{width:110px;vertical-align:middle}
-#ctl label{display:block;margin:3px 0}</style></head><body>
+#ctl label{display:block;margin:3px 0}
+#app{position:fixed;bottom:8px;left:8px;color:#9a9;font:12px monospace;
+background:#1c1c1cd0;padding:8px 10px;border-radius:6px;max-width:340px}
+#app button,#app select{font:12px monospace}</style></head><body>
 <div id="hud">must3r-tpu live &middot; waiting for data&hellip;</div>
+<!--EXTRA_HTML-->
 <div id="ctl">
 <label>conf thr <input id="thr" type="range" min="1" max="10" step="0.1"
  value="1.5"> <span id="thrv">1.5</span></label>
@@ -137,9 +141,20 @@ thr.oninput=()=>{document.getElementById('thrv').textContent=thr.value;};
 thr.onchange=sendCtl; kfc.onchange=sendCtl;
 psz.oninput=()=>{document.getElementById('pszv').textContent=psz.value;
   pointSize=parseInt(psz.value);requestAnimationFrame(draw);};
+//EXTRA_JS
 draw();poll();
 </script></body></html>
 """
+
+
+def make_page(extra_html: str = "", extra_js: str = "") -> str:
+    """Build the viewer page with optional extra panel markup / script
+    (used by the interactive web demo, demo/webapp.py)."""
+    return (_PAGE_TMPL.replace("<!--EXTRA_HTML-->", extra_html)
+            .replace("//EXTRA_JS", extra_js))
+
+
+_PAGE = make_page()
 
 
 def _pack_snapshot(version: int, pts: np.ndarray, cols: np.ndarray,
@@ -159,8 +174,15 @@ class LiveViewer:
     """Incremental scene viewer over a background HTTP server."""
 
     def __init__(self, port: int = 0, host: str = "127.0.0.1",
-                 max_points: int = 400_000, verbose: bool = True):
+                 max_points: int = 400_000, verbose: bool = True,
+                 page: Optional[str] = None, app=None):
+        """page: override the served HTML (see `make_page`). app: optional
+        object with `handle_get(path, qs) -> (ctype, bytes) | None` and
+        `handle_post(path, body, qs) -> (ctype, bytes) | None`; consulted
+        for any route the viewer itself doesn't serve (the web demo)."""
         self.max_points = max_points
+        self._page = (page or _PAGE).encode()
+        self.app = app
         self._lock = threading.Lock()
         self._version = 0
         self._snapshot = _pack_snapshot(0, np.zeros((0, 3), np.float32),
@@ -178,9 +200,9 @@ class LiveViewer:
                 pass
 
             def do_GET(self):
-                path = self.path.split("?")[0]
+                path, _, qs = self.path.partition("?")
                 if path in ("/", "/index.html"):
-                    body = _PAGE.encode()
+                    body = viewer._page
                     ctype = "text/html"
                 elif path == "/version":
                     with viewer._lock:
@@ -191,9 +213,13 @@ class LiveViewer:
                         body = viewer._snapshot
                     ctype = "application/octet-stream"
                 else:
-                    self.send_response(404)
-                    self.end_headers()
-                    return
+                    res = (viewer.app.handle_get(path, qs)
+                           if viewer.app is not None else None)
+                    if res is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    ctype, body = res
                 self.send_response(200)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
@@ -204,9 +230,22 @@ class LiveViewer:
             def do_POST(self):
                 import json
 
-                if self.path.split("?")[0] != "/controls":
-                    self.send_response(404)
+                path, _, qs = self.path.partition("?")
+                if path != "/controls":
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = self.rfile.read(n) if n else b""
+                    res = (viewer.app.handle_post(path, body, qs)
+                           if viewer.app is not None else None)
+                    if res is None:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    ctype, out = res
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(out)))
                     self.end_headers()
+                    self.wfile.write(out)
                     return
                 n = int(self.headers.get("Content-Length", 0))
                 try:
@@ -311,12 +350,18 @@ class LiveViewer:
         demo/gradio.py:459-482): hooks `on_controls` so the browser's
         conf-threshold slider / keyframes-only toggle re-filter the
         already-computed pointmaps -- no re-inference."""
-        pts = np.asarray(scene.pts3d, np.float32)
-        conf = np.asarray(scene.conf, np.float32)
-        imgs = np.asarray(scene.imgs)
-        if imgs.dtype != np.uint8:
-            imgs = (np.clip(imgs.astype(np.float32) * 0.5 + 0.5, 0, 1)
-                    * 255).astype(np.uint8)
+        # per-view lists, not one stacked array: mixed-AR scenes are ragged
+        pts = [np.asarray(p, np.float32) for p in scene.pts3d]
+        conf = [np.asarray(c, np.float32) for c in scene.conf]
+
+        def to_u8(a):
+            a = np.asarray(a)
+            if a.dtype != np.uint8:
+                a = (np.clip(a.astype(np.float32) * 0.5 + 0.5, 0, 1)
+                     * 255).astype(np.uint8)
+            return a
+
+        imgs = [to_u8(im) for im in scene.imgs]
         cams = np.asarray(scene.cams2world, np.float32)[:, :3, 3]
         kf = set(int(i) for i in (keyframe_ids or []))
 
