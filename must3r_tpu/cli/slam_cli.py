@@ -36,6 +36,14 @@ def get_args_parser():
                    help="serve a live map viewer, updated per keyframe "
                         "(the open3d GUI/viser role)")
     p.add_argument("--live_port", type=int, default=8643)
+    p.add_argument("--web", action="store_true", default=False,
+                   help="full browser GUI: live map + frame/depth/conf "
+                        "panels + pause + follow-cam (the reference "
+                        "Open3D GUI, slam/slam.py:246-564)")
+    p.add_argument("--web_every", type=int, default=2,
+                   help="publish the image panels every Nth frame")
+    p.add_argument("--web_hold", type=float, default=0.0,
+                   help="keep the GUI/viewer up N seconds after finishing")
     p.add_argument("--max_frames", type=int, default=None)
     p.add_argument("--gt_poses", default=None,
                    help="GT trajectory for ATE/RPE: .npz (poses/timestamps)"
@@ -98,7 +106,14 @@ def main(argv=None):
                      rerender=args.rerender, kv_quant=args.kv_quant)
     dtype = jnp.bfloat16 if args.amp == "bf16" else jnp.float32
     viewer = None
-    if args.live:
+    gui = None
+    if args.web:
+        from must3r_tpu.slam.webgui import SlamWebGUI
+
+        cfg.keep_memory = True
+        gui = SlamWebGUI(port=args.live_port, panel_every=args.web_every)
+        viewer = gui
+    elif args.live:
         from must3r_tpu.demo.live import LiveViewer
 
         cfg.keep_memory = True          # get_map needs keyframe pointmaps
@@ -116,13 +131,22 @@ def main(argv=None):
     it = iter(loader)
     cur = next(it, None)
     while cur is not None:
+        if gui is not None:
+            while gui.paused:           # browser pause button
+                time.sleep(0.05)
         nxt = next(it, None)
         frame, fid, cam = cur
-        out = slam(frame, fid, cam, return_maps=False,
+        out = slam(frame, fid, cam, return_maps=gui is not None,
                    next_frame=nxt[0] if nxt is not None else None,
                    next_frame_id=nxt[1] if nxt is not None else None)
         cur = nxt
         n += 1
+        if gui is not None:
+            fps = n / max(time.time() - t0, 1e-9)
+            gui.publish_frame(frame, out,
+                              stats=f"frame {fid} | {fps:.1f} fps | "
+                                    f"{slam.num_mem_frames} kf | overlap "
+                                    f"{out['overlap_score']:.3f}")
         if viewer is not None and out.get("iskeyframe"):
             import numpy as np
 
@@ -165,6 +189,12 @@ def main(argv=None):
         with open(os.path.join(args.output_dir, "ate_report.json"),
                   "w") as f:
             json.dump(report, f, indent=2)
+
+    if viewer is not None:
+        if args.web_hold > 0:
+            print(f"viewer at {viewer.url} for {args.web_hold:g}s")
+            time.sleep(args.web_hold)
+        viewer.close()
 
 
 if __name__ == "__main__":

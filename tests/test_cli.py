@@ -111,6 +111,19 @@ def test_slam_cli(tmp_path, image_folder):
     assert os.path.isfile(os.path.join(out, "memory.pkl"))
 
 
+def test_slam_cli_web_gui(tmp_path, image_folder):
+    """--web runs the full browser-GUI path (panels published per frame,
+    map per keyframe) end to end on a tiny sequence."""
+    out = str(tmp_path / "slamweb")
+    slam_main(["--preset", "tiny", "--input", image_folder,
+               "--output_dir", out, "--res", "64", "--subsamp", "1",
+               "--num_init_frames", "1", "--max_keyframes", "8",
+               "--amp", "fp32", "--web", "--web_every", "1",
+               "--live_port", "0"])
+    data = np.load(os.path.join(out, "all_poses.npz"), allow_pickle=True)
+    assert data["poses"].shape == (4, 4, 4)
+
+
 def test_reconstruct_cli_video_mode(tmp_path, image_folder):
     out = str(tmp_path / "vrec")
     rec_main(["--preset", "tiny", "--input", image_folder,
