@@ -353,7 +353,12 @@ BENCHES = {
 def main():
     names = sys.argv[1:] or list(BENCHES)
     for name in names:
-        BENCHES[name]()
+        try:
+            BENCHES[name]()
+        except Exception as e:  # isolate: one failing config must not
+            # silence the remaining (esp. the headline, printed last)
+            print(f"bench {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -364,7 +364,25 @@ def offline_reconstruction(core: InferenceCore, imgs, img_hw=None,
     # update phase
     labels_of = {}
     cursor = 0
-    for bsize in batches:
+    bi = 0
+    while bi < len(batches):
+        bsize = batches[bi]
+        if bsize == 1 and on_update is None:
+            # collapse the run of 1-view batches into scan-fused sequential
+            # updates (one dispatch per chunk instead of per view) -- only
+            # when nobody consumes the per-batch first-pass tokens
+            j = bi
+            while j < len(batches) and batches[j] == 1:
+                j += 1
+            ids = mem_views[cursor:cursor + (j - bi)]
+            sel = jnp.asarray(ids)
+            mem = core.update_seq(mem, x[sel], pos[sel])
+            base = len(labels_of)
+            for k, vid in enumerate(ids):
+                labels_of[vid] = base + k
+            cursor += len(ids)
+            bi = j
+            continue
         ids = mem_views[cursor:cursor + bsize]
         xb = x[jnp.asarray(ids)][None]                     # [1, G, N, Denc]
         pb = pos[jnp.asarray(ids)][None]
@@ -373,6 +391,7 @@ def offline_reconstruction(core: InferenceCore, imgs, img_hw=None,
         for j, vid in enumerate(ids):
             labels_of[vid] = base + j
         cursor += bsize
+        bi += 1
         if on_update is not None:
             pm = core.head(toks, img_hw, portrait[jnp.asarray(ids)][None])
             partial = postprocess(pm[0], core.dec_cfg.pointmaps_activation,

@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.1)
     ap.add_argument("--remat", default="1")
     ap.add_argument("--views", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="per-chip batch size (throughput lever A/B)")
     ap.add_argument("--scan_steps", action="store_true",
                     help="lax.scan over update steps (A/B vs unrolled)")
     args = ap.parse_args()
@@ -87,7 +89,7 @@ def main():
     step = make_train_step(enc_cfg, dec_cfg, ts, opt, donate=False)
     loss_fn = make_loss_fn(enc_cfg, dec_cfg, ts)
 
-    b, hw = 1, 224
+    b, hw = args.batch, 224
     npatch = (hw // 16) ** 2
     npos = np.asarray(patchify_positions(hw // 16, hw // 16))
     rng = np.random.default_rng(0)
@@ -145,6 +147,8 @@ def main():
     print(f"grad      : {tot_step / t_grad / 1e12:6.1f} TF/s")
     print(f"step      : {tot_step / t_step / 1e12:6.1f} TF/s "
           f"({1.0 / t_step:.2f} it/s)")
+    print(f"throughput: {b / t_step:.2f} samples/s, "
+          f"{b * v / t_step:.1f} views/s (batch {b})")
     print(f"opt overhead (step - grad): {(t_step - t_grad) * 1e3:.1f} ms")
     print(f"bwd+remat (grad - fwd):     {(t_grad - t_fwd) * 1e3:.1f} ms")
     print(f"decoder fwd (fwd - enc):    {(t_fwd - t_enc) * 1e3:.1f} ms")

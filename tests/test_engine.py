@@ -176,6 +176,19 @@ def test_offline_with_refinement_and_subsets(core, rng):
     assert (np.asarray(mem.labels[0, 4 * n:]) == -1).all()
 
 
+def test_offline_fused_update_run_parity(core, rng):
+    """The scan-fused 1-view-batch run (on_update=None) must match the
+    per-view update path (forced by passing an on_update callback)."""
+    imgs = jnp.asarray(rng.standard_normal((6, 32, 32, 3)), jnp.float32)
+    out_fused = offline_reconstruction(core, imgs, render_bs=3)
+    out_per = offline_reconstruction(core, imgs, render_bs=3,
+                                     on_update=lambda ids, d: None)
+    for k in out_fused:
+        np.testing.assert_allclose(np.asarray(out_fused[k]),
+                                   np.asarray(out_per[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
 def test_refinement_changes_nonref_tokens_only(core, rng):
     imgs = jnp.asarray(rng.standard_normal((3, 32, 32, 3)), jnp.float32)
     _, mem0 = offline_reconstruction(core, imgs, return_mem=True,
