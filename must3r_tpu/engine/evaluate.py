@@ -100,13 +100,18 @@ def depth_metrics(pred_depth: np.ndarray, gt_depth: np.ndarray,
     p = pred_depth[valid]
     g = gt_depth[valid]
     if len(p) == 0:
-        return {"abs_rel": float("nan"), "delta_1.25": 0.0}
+        return {"abs_rel": float("nan"), "inliers_1.03": 0.0,
+                "delta_1.25": 0.0}
     scale = np.median(g) / max(np.median(p), 1e-9)
     p = p * scale
     abs_rel = float(np.mean(np.abs(p - g) / np.clip(g, 1e-9, None)))
     ratio = np.maximum(p / np.clip(g, 1e-9, None),
                        g / np.clip(p, 1e-9, None))
-    return {"abs_rel": abs_rel, "delta_1.25": float((ratio < 1.25).mean())}
+    # inliers@1.03 is the published robust-MVD headline
+    # (reference assets/evals.md:53-74); delta_1.25 kept for mono-depth use
+    return {"abs_rel": abs_rel,
+            "inliers_1.03": float((ratio < 1.03).mean() * 100.0),
+            "delta_1.25": float((ratio < 1.25).mean())}
 
 
 def evaluate(core: InferenceCore, loader,

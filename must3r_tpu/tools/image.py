@@ -291,10 +291,26 @@ def preprocess_frame(img: np.ndarray, res: int, patch_size: int = 16,
 
 
 def load_image(path: str) -> np.ndarray:
-    """Read an image file to RGB uint8 (EXIF-transposed)."""
-    with PIL.Image.open(path) as pil:
-        pil = PIL.ImageOps.exif_transpose(pil)
-        return np.asarray(pil.convert("RGB"))
+    """Read an image file to RGB uint8 (EXIF-transposed).
+
+    Tolerates truncated files (common in crawled datasets): on a decode
+    OSError, retries once with PIL's truncated-image mode so the intact
+    prefix still loads instead of killing a whole reconstruction run.
+    """
+    try:
+        with PIL.Image.open(path) as pil:
+            pil = PIL.ImageOps.exif_transpose(pil)
+            return np.asarray(pil.convert("RGB"))
+    except OSError:
+        from PIL import ImageFile
+        prev = ImageFile.LOAD_TRUNCATED_IMAGES
+        ImageFile.LOAD_TRUNCATED_IMAGES = True
+        try:
+            with PIL.Image.open(path) as pil:
+                pil = PIL.ImageOps.exif_transpose(pil)
+                return np.asarray(pil.convert("RGB"))
+        finally:
+            ImageFile.LOAD_TRUNCATED_IMAGES = prev
 
 
 def load_images(paths: Sequence[str], maxdim, patch_size: int = 16,

@@ -137,3 +137,30 @@ def test_evaluate_reconstruction_on_synthetic():
                                   max_batches=1, verbose=False)
     for key in ("accuracy", "completion", "nc", "accuracy_med"):
         assert key in rep and np.isfinite(rep[key])
+
+
+def test_depth_metrics_scale_invariant_and_inliers(rng):
+    """Median scaling makes the metric scale-invariant; inliers@1.03 is
+    the published robust-MVD headline (reference assets/evals.md:53-74)."""
+    from must3r_tpu.engine.evaluate import depth_metrics
+
+    gt = rng.random((32, 32)).astype(np.float64) + 1.0
+    valid = np.ones_like(gt, bool)
+
+    # exact prediction up to a global scale -> perfect scores
+    m = depth_metrics(gt * 3.7, gt, valid)
+    assert m["abs_rel"] < 1e-9
+    assert m["inliers_1.03"] == 100.0
+    assert m["delta_1.25"] == 1.0
+
+    # 2% relative noise: inside 1.03 but abs_rel reflects it
+    noisy = gt * (1.0 + 0.02 * np.sign(rng.random(gt.shape) - 0.5))
+    m2 = depth_metrics(noisy, gt, valid)
+    assert m2["inliers_1.03"] > 95.0
+    assert 0.005 < m2["abs_rel"] < 0.05
+
+    # 50% error on half the pixels tanks the inlier rate
+    bad = gt.copy()
+    bad[:16] *= 1.5
+    m3 = depth_metrics(bad, gt, valid)
+    assert m3["inliers_1.03"] < 80.0

@@ -83,3 +83,26 @@ def test_ply_no_colors(tmp_path, rng):
     pts2, col2 = load_ply(p)
     np.testing.assert_array_equal(pts2, pts)
     assert col2 is None
+
+
+def test_load_image_truncated_jpeg(tmp_path, rng):
+    """A JPEG with its tail cut off must still load (intact prefix) instead
+    of raising -- crawled-dataset robustness (load_image OSError retry)."""
+    from PIL import Image
+
+    from must3r_tpu.tools.image import load_image
+
+    arr = (rng.random((96, 128, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "full.jpg"
+    Image.fromarray(arr).save(p, quality=92)
+    data = p.read_bytes()
+    q = tmp_path / "trunc.jpg"
+    q.write_bytes(data[: int(len(data) * 0.7)])
+
+    out = load_image(str(q))
+    assert out.shape == (96, 128, 3)
+    assert out.dtype == np.uint8
+    # the intact prefix should decode to (roughly) the same upper rows
+    full = load_image(str(p))
+    top_err = np.abs(out[:32].astype(int) - full[:32].astype(int)).mean()
+    assert top_err < 16.0
