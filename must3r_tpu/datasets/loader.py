@@ -81,20 +81,36 @@ class DataLoader:
     def __len__(self):
         return len(self.sampler) // self.batch_size
 
+    def _build(self, bt) -> Dict:
+        return collate_views([self.dataset[i] for i in bt], self.patch_size)
+
     def __iter__(self) -> Iterator[Dict]:
         idxs = list(self.sampler)
         batches = [idxs[i:i + self.batch_size]
                    for i in range(0, len(idxs), self.batch_size)]
         batches = [bt for bt in batches if len(bt) == self.batch_size]
         if self.num_workers > 0:
+            # Pipelined prefetch (the torch DataLoader role,
+            # reference must3r/datasets/__init__.py:33-40): up to
+            # num_workers batches build concurrently while the trainer
+            # consumes the head; yielded strictly in sampler order.
+            from collections import deque
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for bt in batches:
-                    samples = list(pool.map(self.dataset.__getitem__, bt))
-                    yield collate_views(samples, self.patch_size)
+                depth = max(2, self.num_workers)
+                pending = deque()
+                it = iter(batches)
+                for bt in it:
+                    pending.append(pool.submit(self._build, bt))
+                    if len(pending) >= depth:
+                        break
+                while pending:
+                    yield pending.popleft().result()
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        pending.append(pool.submit(self._build, nxt))
         else:
             for bt in batches:
-                yield collate_views([self.dataset[i] for i in bt],
-                                    self.patch_size)
+                yield self._build(bt)
 
 
 def get_data_loader(dataset, batch_size: int, world_size: int = 1,

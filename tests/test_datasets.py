@@ -170,3 +170,21 @@ def test_build_dataset_accepts_transform_name():
                        "epoch_size=2, transform=ColorJitter)")
     from must3r_tpu.tools.image import color_jitter
     assert ds.transform is color_jitter
+
+
+def test_loader_prefetch_matches_sequential():
+    """num_workers>0 (pipelined prefetch) must yield the SAME batches in
+    the SAME order as the sequential path."""
+    ds = SyntheticScenes(num_views=3, resolutions=((64, 48),), epoch_size=8,
+                         seed=0)
+    seq = get_data_loader(ds, batch_size=2, num_workers=0)
+    par = get_data_loader(ds, batch_size=2, num_workers=3)
+    seq.set_epoch(1)
+    par.set_epoch(1)
+    b_seq = list(iter(seq))
+    b_par = list(iter(par))
+    assert len(b_seq) == len(b_par) == len(seq)
+    for a, b in zip(b_seq, b_par):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
