@@ -62,7 +62,7 @@ def _emit(metric, value, unit, vs_baseline):
     }), flush=True)
 
 
-def _offline(configs, n_views, h, w, metric, baseline):
+def _offline(configs, n_views, h, w, metric, baseline, n_scenes=1):
     from must3r_tpu.engine import InferenceCore, make_fused_offline
     from must3r_tpu.models import init_decoder, init_encoder
 
@@ -70,10 +70,12 @@ def _offline(configs, n_views, h, w, metric, baseline):
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     core = InferenceCore(init_encoder(k1, enc_cfg), init_decoder(k2, dec_cfg),
                          enc_cfg, dec_cfg, dtype=jnp.bfloat16)
-    fused = make_fused_offline(core, n_views, (h, w), compute_cam=True)
+    fused = make_fused_offline(core, n_views, (h, w), compute_cam=True,
+                               n_scenes=n_scenes)
 
-    imgs = jax.random.normal(jax.random.PRNGKey(1), (n_views, h, w, 3),
-                             jnp.float32)
+    shape = (n_views, h, w, 3) if n_scenes == 1 \
+        else (n_scenes, n_views, h, w, 3)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
 
     def run(n: int = 1):
         # dispatch n reconstructions, then force full materialization with
@@ -92,13 +94,23 @@ def _offline(configs, n_views, h, w, metric, baseline):
         t0 = time.perf_counter()
         run(reps)
         times.append((time.perf_counter() - t0) / reps)
-    _emit(metric, n_views / min(times), "views/s", baseline)
+    _emit(metric, n_scenes * n_views / min(times), "views/s", baseline)
 
 
 def bench_two_view_224():
     from must3r_tpu.config import must3r_224_configs
     _offline(must3r_224_configs(), 2, 224, 224,
              "views_per_sec_offline_224x224_2views", BASELINE_OFFLINE_224)
+
+
+def bench_two_view_224_batched():
+    """Bulk-serving variant: 8 independent 2-view scenes per dispatch.
+    One scene leaves 224-class matmuls tiny ([392, 1024] activations,
+    ~29 TF/s effective -- docs/PERF.md); batching scenes is the lever."""
+    from must3r_tpu.config import must3r_224_configs
+    _offline(must3r_224_configs(), 2, 224, 224,
+             "views_per_sec_offline_224x224_2views_x8scenes",
+             BASELINE_OFFLINE_224, n_scenes=8)
 
 
 def bench_offline_512():
@@ -342,6 +354,7 @@ def bench_sharded_sp2():
 
 BENCHES = {
     "two_view_224": bench_two_view_224,
+    "two_view_224_x8": bench_two_view_224_batched,
     "retrieval_50": bench_retrieval_50,
     "online_vo": bench_online_vo,
     "train_step": bench_train_step,

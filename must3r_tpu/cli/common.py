@@ -8,11 +8,15 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Honor $JAX_PLATFORMS even when the hosting environment preloaded jax
-# (e.g. a sitecustomize that registers a remote TPU plugin): as long as no
-# backend has been initialized yet, jax.config can still switch platforms.
+# Honor $JAX_PLATFORMS even when the hosting environment preloaded jax:
+# the axon sitecustomize explicitly config.update()s jax_platforms to
+# "axon,cpu", clobbering the user's env choice. Restore the env value ONLY
+# when the current config is that axon override -- never fight other
+# in-process selections (e.g. a test conftest forcing "cpu" would
+# otherwise be reverted to a possibly-unreachable TPU backend here).
 _plat = os.environ.get("JAX_PLATFORMS")
-if _plat and jax.config.jax_platforms != _plat:
+_cur = jax.config.jax_platforms or ""
+if _plat and _cur != _plat and _cur.startswith("axon"):
     try:
         jax.config.update("jax_platforms", _plat)
     except Exception:
@@ -73,6 +77,6 @@ def load_or_init_model(chkpt: Optional[str], preset: str = "512",
 def make_core(params, enc_cfg, dec_cfg, amp: str = "bf16", kv_quant=None):
     from must3r_tpu.engine import InferenceCore
 
-    dtype = jnp.bfloat16 if amp == "bf16" else jnp.float32
+    dtype = jnp.bfloat16 if amp in ("bf16", "bfloat16") else jnp.float32
     return InferenceCore(params["encoder"], params["decoder"], enc_cfg,
                          dec_cfg, dtype=dtype, kv_quant=kv_quant)

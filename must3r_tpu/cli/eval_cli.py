@@ -17,8 +17,12 @@ def get_args_parser():
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--num_views", type=int, nargs="+", default=[2, 4])
     p.add_argument("--max_batches", type=int, default=None)
-    p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--amp", default="bf16", choices=["bf16", "fp32", "bfloat16", "float32"])
     p.add_argument("--pose_eval", action="store_true", default=False)
+    p.add_argument("--pose_mode", default="procrustes",
+                   choices=["procrustes", "pnp"],
+                   help="published pose protocols: procrustes | pnp "
+                        "(assets/evals.md:128-191)")
     p.add_argument("--depth_eval", action="store_true", default=False)
     p.add_argument("--recon_eval", action="store_true", default=False,
                    help="Acc/Comp/NC cloud metrics (assets/evals.md:44-46)")
@@ -45,6 +49,7 @@ def main(argv=None):
     report = evaluate(core, loader, num_views_list=args.num_views,
                       max_batches=args.max_batches,
                       pose_eval=args.pose_eval,
+                      pose_mode=args.pose_mode,
                       depth_eval=args.depth_eval)
     if args.recon_eval:
         from must3r_tpu.engine.evaluate import evaluate_reconstruction

@@ -38,7 +38,7 @@ def get_args_parser():
     p.add_argument("--max_bs", type=int, default=8)
     p.add_argument("--conf_thrs", type=float, nargs="+",
                    default=[1.5, 3.0, 5.0])
-    p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--amp", default="bf16", choices=["bf16", "fp32", "bfloat16", "float32"])
     p.add_argument("--kv_quant", default=None, choices=["fp8", "int8"],
                    help="8-bit token memory (per-token scales): ~2x "
                         "image capacity per chip")

@@ -28,7 +28,7 @@ def get_args_parser():
     p.add_argument("--load_memory", default=None)
     p.add_argument("--filtering_mode", default=None,
                    help="e.g. laplacian or laplacian-conf")
-    p.add_argument("--amp", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--amp", default="bf16", choices=["bf16", "fp32", "bfloat16", "float32"])
     p.add_argument("--kv_quant", default=None, choices=["fp8", "int8"],
                    help="8-bit token memory (per-token scales): ~2x "
                         "keyframe capacity per chip")

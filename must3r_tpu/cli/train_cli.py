@@ -51,7 +51,7 @@ def get_args_parser():
     p.add_argument("--loss_in_log", action="store_true", default=False)
     p.add_argument("--alpha", type=float, default=0.2)
     p.add_argument("--amp", default="bfloat16",
-                   choices=["bfloat16", "float32"])
+                   choices=["bfloat16", "float32", "bf16", "fp32"])
     p.add_argument("--seed", type=int, default=777)
     p.add_argument("--num_workers", type=int, default=2)
     p.add_argument("--keep_freq", type=int, default=5)
@@ -151,7 +151,9 @@ def main(argv=None):
     ts = TrainSettings(
         finetune_encoder=args.finetune_encoder,
         dropout_p=args.mem_dropout, dropout_mode=args.dropout_mode,
-        alpha=args.alpha, loss_in_log=args.loss_in_log, dtype=args.amp)
+        alpha=args.alpha, loss_in_log=args.loss_in_log,
+        dtype={"bf16": "bfloat16", "fp32": "float32"}.get(args.amp,
+                                                          args.amp))
     cfg = TrainLoopConfig(
         epochs=args.epochs, warmup_epochs=args.warmup_epochs, blr=args.blr,
         lr=args.lr, min_lr=args.min_lr, weight_decay=args.weight_decay,

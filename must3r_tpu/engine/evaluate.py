@@ -114,14 +114,59 @@ def depth_metrics(pred_depth: np.ndarray, gt_depth: np.ndarray,
             "delta_1.25": float((ratio < 1.25).mean())}
 
 
+def pnp_pose(pts3d: np.ndarray, conf: np.ndarray, focal: float,
+             conf_thr: float = 0.0, max_points: int = 4096,
+             reproj_err: float = 5.0) -> np.ndarray:
+    """c2w by PnP-RANSAC between the pixel grid and the predicted GLOBAL
+    pointmap — the published 'pnp' pose-protocol variant (reference
+    assets/evals.md:138-191; the procrustes variant is postprocess's
+    weighted rigid registration). Host-side, cv2-backed.
+
+    pts3d: [H, W, 3] global pointmap; conf: [H, W]; focal: pixels
+    (principal point at the image center, ops/pose.py convention).
+    Returns [4, 4] c2w (identity on solver failure).
+    """
+    import cv2
+
+    h, w = pts3d.shape[:2]
+    pts = np.asarray(pts3d, np.float64).reshape(-1, 3)
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    pix = np.stack([gx, gy], -1).reshape(-1, 2).astype(np.float64)
+    c = np.asarray(conf, np.float64).reshape(-1)
+    keep = np.flatnonzero(c > conf_thr)
+    if len(keep) < 6:
+        keep = np.argsort(-c)[:min(len(c), max(6, max_points))]
+    if len(keep) > max_points:
+        keep = keep[np.argsort(-c[keep])[:max_points]]
+    kmat = np.array([[focal, 0.0, w / 2.0],
+                     [0.0, focal, h / 2.0],
+                     [0.0, 0.0, 1.0]])
+    ok, rvec, tvec, _ = cv2.solvePnPRansac(
+        pts[keep], pix[keep], kmat, None, iterationsCount=100,
+        reprojectionError=reproj_err, flags=cv2.SOLVEPNP_ITERATIVE)
+    if not ok:
+        return np.eye(4)
+    rot = cv2.Rodrigues(rvec)[0]           # world -> camera
+    c2w = np.eye(4)
+    c2w[:3, :3] = rot.T
+    c2w[:3, 3] = (-rot.T @ tvec).ravel()
+    return c2w
+
+
 def evaluate(core: InferenceCore, loader,
              num_views_list: Sequence[int] = (2, 4),
              norm_mode: str = "?avg_dis", max_batches: Optional[int] = None,
              pose_eval: bool = False, depth_eval: bool = False,
+             pose_mode: str = "procrustes",
              verbose: bool = True) -> Dict[str, Dict[str, float]]:
     """Returns {f'views{k}': {'l21_global_mean', 'l21_global_median',
-    'l21_local_mean', 'l21_local_median'[, pose RRA/RTA/AUC]}}."""
-    from must3r_tpu.ops.pose import make_c2w, rigid_points_registration
+    'l21_local_mean', 'l21_local_median'[, pose RRA/RTA/AUC]}}.
+
+    pose_mode: 'procrustes' (weighted rigid local->global registration) or
+    'pnp' (RANSAC PnP of the pixel grid against the global pointmap) --
+    the two published pose-protocol variants."""
+    from must3r_tpu.ops.pose import (estimate_focal_weiszfeld, make_c2w,
+                                     rigid_points_registration)
 
     report = {}
     for k in num_views_list:
@@ -150,11 +195,22 @@ def evaluate(core: InferenceCore, loader,
                                 pd[e, vi], gtd[e, vi], vm[e, vi]))
             if pose_eval:
                 b, v = pred["pts3d"].shape[:2]
-                r, t = rigid_points_registration(
-                    pred["pts3d_local"].reshape(b, v, -1, 3),
-                    pred["pts3d"].reshape(b, v, -1, 3),
-                    weights=pred["conf"].reshape(b, v, -1) - 1.0)
-                c2w = np.asarray(make_c2w(r, t))
+                if pose_mode == "pnp":
+                    focals = np.asarray(estimate_focal_weiszfeld(
+                        pred["pts3d_local"]))
+                    pm = np.asarray(pred["pts3d"])
+                    cf = np.asarray(pred["conf"])
+                    c2w = np.stack([
+                        np.stack([pnp_pose(pm[e, vi], cf[e, vi],
+                                           float(focals[e, vi]))
+                                  for vi in range(v)])
+                        for e in range(b)])
+                else:
+                    r, t = rigid_points_registration(
+                        pred["pts3d_local"].reshape(b, v, -1, 3),
+                        pred["pts3d"].reshape(b, v, -1, 3),
+                        weights=pred["conf"].reshape(b, v, -1) - 1.0)
+                    c2w = np.asarray(make_c2w(r, t))
                 gt_c2w = np.asarray(batch["camera_pose"])
                 for e in range(b):
                     pose_accs.append(pose_metrics(c2w[e], gt_c2w[e]))

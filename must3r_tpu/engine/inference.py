@@ -563,7 +563,7 @@ def offline_reconstruction_multi_ar(core: InferenceCore,
 
 def make_fused_offline(core: InferenceCore, n_views: int, img_hw,
                        init_num_images: int = 2, compute_cam: bool = True,
-                       capacity_block: int = 1024):
+                       capacity_block: int = 1024, n_scenes: int = 1):
     """Compile the ENTIRE offline reconstruction into one XLA program:
     encode all views -> init update -> lax.scan of 1-view updates ->
     batched render -> head -> postprocess.
@@ -572,47 +572,67 @@ def make_fused_offline(core: InferenceCore, n_views: int, img_hw,
     multi-host setup this removes all per-step launch latency, and XLA
     overlaps encode/update phases freely. Uniform aspect-ratio buckets
     only -- the host-loop `offline_reconstruction` handles mixed AR.
+
+    n_scenes > 1 reconstructs that many INDEPENDENT collections per
+    dispatch (each with its own memory, riding the batch axis of every
+    op): at small per-scene shapes (e.g. 224 2-view) one scene leaves
+    the MXU matmuls tiny, so bulk serving should batch scenes --
+    `run(imgs[S, V, H, W, 3], portrait[S, V])` -> leading [S, V] outputs.
     """
     enc_cfg, dec_cfg = core.enc_cfg, core.dec_cfg
     h, w = img_hw
     n = (h // dec_cfg.patch_size) * (w // dec_cfg.patch_size)
     cap = round_capacity(n_views * n, capacity_block)
     g0 = min(init_num_images, n_views)
+    s = n_scenes
 
     def pipeline(enc_params, dec_params, imgs, pos, portrait):
-        x = encoder_forward(enc_params, enc_cfg, imgs, pos,
+        # imgs [S, V, H, W, 3], pos [S, V, N, 2], portrait [S, V]
+        x = encoder_forward(enc_params, enc_cfg,
+                            imgs.reshape(s * n_views, h, w, 3),
+                            pos.reshape(s * n_views, n, 2),
                             dtype=core.enc_dtype, impl=core.impl)
-        mem = init_memory(dec_cfg.depth, 1, dec_cfg.num_heads,
+        x = x.reshape(s, n_views, n, -1)
+        mem = init_memory(dec_cfg.depth, s, dec_cfg.num_heads,
                           dec_cfg.head_dim, cap, dtype=core.mem_dtype)
-        mem, _ = decoder_update(dec_params, dec_cfg, mem, x[None, :g0],
-                                pos[None, :g0], causal=False,
+        mem, _ = decoder_update(dec_params, dec_cfg, mem, x[:, :g0],
+                                pos[:, :g0], causal=False,
                                 dtype=core.dtype, impl=core.impl)
 
         if n_views > g0:
             def step(mem, inp):
-                xi, pi = inp
+                xi, pi = inp                    # [S, N, D], [S, N, 2]
                 mem, _ = decoder_update(dec_params, dec_cfg, mem,
-                                        xi[None, None], pi[None, None],
+                                        xi[:, None], pi[:, None],
                                         causal=False, dtype=core.dtype,
                                         impl=core.impl)
                 return mem, None
 
-            mem, _ = jax.lax.scan(step, mem, (x[g0:], pos[g0:]))
+            mem, _ = jax.lax.scan(
+                step, mem, (jnp.swapaxes(x[:, g0:], 0, 1),
+                            jnp.swapaxes(pos[:, g0:], 0, 1)))
 
-        toks = decoder_render(dec_params, dec_cfg, mem, x[None], pos[None],
+        toks = decoder_render(dec_params, dec_cfg, mem, x, pos,
                               dtype=core.dtype, impl=core.impl)
-        pm = decoder_head(dec_params, dec_cfg, toks, (h, w),
-                          portrait[None])[0]
+        pm = decoder_head(dec_params, dec_cfg, toks, (h, w), portrait)
         return postprocess(pm, dec_cfg.pointmaps_activation,
                            compute_cam=compute_cam)
 
     jitted = jax.jit(pipeline)
 
     def run(imgs, portrait=None):
+        scene_dim = imgs.ndim == 5
+        if not scene_dim:
+            imgs = imgs[None]
         if portrait is None:
-            portrait = jnp.zeros((n_views,), bool)
+            portrait = jnp.zeros((s, n_views), bool)
+        elif not scene_dim:
+            portrait = jnp.asarray(portrait)[None]
         pos = view_positions(img_hw, enc_cfg.patch_size, portrait,
-                             batch_shape=(n_views,))
-        return jitted(core.enc_params, core.dec_params, imgs, pos, portrait)
+                             batch_shape=(s, n_views))
+        out = jitted(core.enc_params, core.dec_params, imgs, pos, portrait)
+        if not scene_dim:
+            out = {k: v[0] for k, v in out.items()}
+        return out
 
     return run

@@ -228,6 +228,7 @@ class TrainLoopConfig:
     print_freq: int = 20
     seed: int = 777
     output_dir: str = "./output"
+    async_save: bool = True   # background checkpoint writes (single-process)
 
 
 class Trainer:
@@ -321,14 +322,48 @@ class Trainer:
             # collective mismatched (gloo 'received data size doesn't
             # match'). With numpy trees orbax writes from the primary
             # host only; meta.json is rank-gated inside save_checkpoint.
+            # Always synchronous: a background writer's barriers would
+            # interleave with the training step's collectives.
             params = jax.tree.map(np.asarray, params)
             opt = jax.tree.map(np.asarray, opt)
         elif not self.is_main:   # rank-0-only write (reference io.py)
             return
         path = os.path.join(self.cfg.output_dir, f"checkpoint-{tag}")
-        save_checkpoint(path, params, self.enc_cfg, self.dec_cfg,
-                        opt_state=opt if tag != "final" else None,
-                        step=epoch + 1)
+        opt = opt if tag != "final" else None
+        if process_count() > 1 or not self.cfg.async_save:
+            save_checkpoint(path, params, self.enc_cfg, self.dec_cfg,
+                            opt_state=opt, step=epoch + 1)
+            return
+        # Async write: snapshot to host numpy NOW (the step donates its
+        # input buffers, so device params are invalid one step later),
+        # then serialize on a background thread while training continues.
+        params = jax.tree.map(np.asarray, params)
+        if opt is not None:
+            opt = jax.tree.map(np.asarray, opt)
+        self.wait_for_save()
+
+        def _write():
+            try:
+                save_checkpoint(path, params, self.enc_cfg, self.dec_cfg,
+                                opt_state=opt, step=epoch + 1)
+            except BaseException as e:   # surfaced at the next join
+                self._save_exc = e
+
+        import threading
+        self._save_exc = None
+        self._save_thread = threading.Thread(target=_write, daemon=True)
+        self._save_thread.start()
+
+    def wait_for_save(self):
+        """Join any in-flight async checkpoint write; re-raise its error."""
+        t = getattr(self, "_save_thread", None)
+        if t is not None:
+            t.join()
+            self._save_thread = None
+        exc = getattr(self, "_save_exc", None)
+        if exc is not None:
+            self._save_exc = None
+            raise exc
 
     def try_resume(self) -> bool:
         last = os.path.join(self.cfg.output_dir, "checkpoint-last")
@@ -450,4 +485,5 @@ class Trainer:
                 self.save(epoch, str(epoch + 1))
             print(f"epoch {epoch} done: {stats}")
         self.save(cfg.epochs - 1, "final")
+        self.wait_for_save()
         return self.logger.smoothed()

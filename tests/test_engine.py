@@ -203,3 +203,30 @@ def test_refinement_changes_nonref_tokens_only(core, rng):
     np.testing.assert_allclose(kv1[:, :, :, :n], kv0[:, :, :, :n])
     # other images' tokens must have been refreshed
     assert np.abs(kv1[:, :, :, n:3 * n] - kv0[:, :, :, n:3 * n]).max() > 1e-6
+
+
+def test_fused_offline_matches_host_loop(core, rng):
+    """ONE-program pipeline (make_fused_offline) == the host-loop driver,
+    single scene; and n_scenes=2 == two independent single-scene runs."""
+    from must3r_tpu.engine import make_fused_offline
+
+    imgs = jnp.asarray(rng.standard_normal((2, 4, 32, 32, 3)), jnp.float32)
+
+    run1 = make_fused_offline(core, n_views=4, img_hw=(32, 32))
+    ref0 = offline_reconstruction(core, imgs[0], render_bs=4)
+    got0 = run1(imgs[0])
+    for k in ref0:
+        np.testing.assert_allclose(np.asarray(got0[k]), np.asarray(ref0[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+
+    runs = make_fused_offline(core, n_views=4, img_hw=(32, 32), n_scenes=2)
+    got = runs(imgs)
+    ref1 = run1(imgs[1])
+    for k in ref0:
+        assert np.asarray(got[k]).shape[0] == 2
+        np.testing.assert_allclose(np.asarray(got[k][0]),
+                                   np.asarray(got0[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(np.asarray(got[k][1]),
+                                   np.asarray(ref1[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)

@@ -164,3 +164,27 @@ def test_depth_metrics_scale_invariant_and_inliers(rng):
     bad[:16] *= 1.5
     m3 = depth_metrics(bad, gt, valid)
     assert m3["inliers_1.03"] < 80.0
+
+
+def test_pnp_pose_recovers_known_camera(rng):
+    """Build a pointmap from a known camera (focal f, pose c2w); PnP on the
+    pixel grid + global points must recover that pose."""
+    from must3r_tpu.engine.evaluate import pnp_pose
+
+    h, w, f = 48, 64, 60.0
+    # known c2w: rotation about y + translation
+    ang = 0.4
+    r = np.array([[np.cos(ang), 0, np.sin(ang)],
+                  [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]])
+    t = np.array([0.3, -0.2, 1.1])
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    z = 2.0 + rng.random((h, w))            # varied depths
+    local = np.stack([(gx - w / 2.0) / f * z,
+                      (gy - h / 2.0) / f * z, z], -1)
+    pts3d = local @ r.T + t
+    conf = np.ones((h, w))
+
+    c2w = pnp_pose(pts3d, conf, f)
+    np.testing.assert_allclose(c2w[:3, :3], r, atol=1e-5)
+    np.testing.assert_allclose(c2w[:3, 3], t, atol=1e-5)

@@ -319,3 +319,18 @@ def test_forward_no_render_loss(rng):
     gn = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(
         g["decoder"]))
     assert gn > 0
+
+
+def test_trainer_async_save_surfaces_write_errors(tmp_path):
+    """A failing background checkpoint write must raise at the next
+    wait_for_save, not vanish silently."""
+    from must3r_tpu.engine.loop import Trainer
+
+    t = Trainer.__new__(Trainer)     # only the async-join plumbing
+    t._save_exc = RuntimeError("disk full")
+    t._save_thread = None
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="disk full"):
+        t.wait_for_save()
+    # cleared after raising -- a later join must not re-raise
+    t.wait_for_save()
