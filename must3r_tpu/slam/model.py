@@ -94,6 +94,13 @@ class Must3rSLAM:
                                         donate_argnums=(1,),
                                         static_argnums=(4, 5))
         self._spec_encode_fn = jax.jit(self._spec_encode)
+        # capacity-full frames: read-only render (identical predictions --
+        # the update path's self-exclusion mask means a frame never sees
+        # its own tentative tokens -- but no append, so a full memory is
+        # never written past its last slot)
+        self._frame_render_fn = jax.jit(self._frame_step_render)
+        self._frame_render_from_x_fn = jax.jit(
+            self._frame_step_render_from_x, static_argnums=(4,))
         self._rollback_fn = jax.jit(
             lambda mem, length, n: truncate(mem, length, n),
             donate_argnums=(0,))
@@ -171,6 +178,33 @@ class Must3rSLAM:
         return encoder_forward(params["encoder"], self.enc_cfg, img, pos,
                                dtype=self.dtype, impl=self.impl)
 
+    def _frame_step_render(self, params, mem, img, pos, seq_focal):
+        """`_frame_step` for a FULL memory: encode -> read-only render ->
+        head -> post; the memory is not touched (no donation, no append)."""
+        if img.dtype == jnp.uint8:
+            img = (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+        x = encoder_forward(params["encoder"], self.enc_cfg, img, pos,
+                            dtype=self.dtype, impl=self.impl)
+        toks = decoder_render(params["decoder"], self.dec_cfg, mem,
+                              x[:, None], pos[:, None], dtype=self.dtype,
+                              impl=self.impl)
+        hw = (img.shape[1], img.shape[2])
+        pm = decoder_head(params["decoder"], self.dec_cfg, toks, hw)
+        post = self._post(pm[0, 0], seq_focal, False)
+        _, packed, maps = self._pack_outputs(mem, post)
+        return packed, maps
+
+    def _frame_step_render_from_x(self, params, mem, x, pos, hw,
+                                  seq_focal):
+        """Render-only frame step with a speculatively pre-encoded frame."""
+        toks = decoder_render(params["decoder"], self.dec_cfg, mem,
+                              x[:, None], pos[:, None], dtype=self.dtype,
+                              impl=self.impl)
+        pm = decoder_head(params["decoder"], self.dec_cfg, toks, hw)
+        post = self._post(pm[0, 0], seq_focal, False)
+        _, packed, maps = self._pack_outputs(mem, post)
+        return packed, maps
+
     def _frame_step_from_x(self, params, mem, x, pos, hw, is_first: bool,
                            seq_focal):
         """`_frame_step` with a speculatively pre-encoded frame."""
@@ -224,6 +258,7 @@ class Must3rSLAM:
     def reset(self):
         self.mem: Optional[MemoryState] = None
         self._spec = None                 # speculative (id, hw, x_enc)
+        self._warned_full = False
         self._hw = None
         self._n_tokens = None
         self.committed_len = 0
@@ -278,6 +313,7 @@ class Must3rSLAM:
             self._n_tokens = (hw[0] // p) * (hw[1] // p)
             cap = round_capacity(self.cfg.max_keyframes * self._n_tokens,
                                  1024)
+            self._cap = cap
             mem_dtype = self.dtype
             if self.cfg.kv_quant is not None:
                 from must3r_tpu.memory import QUANT_DTYPES
@@ -345,6 +381,10 @@ class Must3rSLAM:
             init_imgs = [v for v in self.all_images]
             init_ids = list(self.all_timestamps)
             self.reset()
+            # the replayed init frames stay in all_images (reference
+            # slam/model.py:491) -- without this the length never reaches
+            # num_init_frames and the engine re-initializes on EVERY frame
+            self.all_images = list(init_imgs)
             replay = list(zip(init_imgs, init_ids))
         else:
             replay = []
@@ -383,19 +423,41 @@ class Must3rSLAM:
         pos = self._positions(hw)
 
         old_len, old_imgs = self.committed_len, self.committed_imgs
+        # capacity gate: a tentative append past the buffer end would
+        # CLAMP its dynamic_update_slice start and overwrite the last
+        # committed keyframe's tokens -- at capacity, run the read-only
+        # render path instead (identical predictions, no append)
+        full = (not is_first
+                and self.committed_len + self._n_tokens > self._cap)
+        if full and not getattr(self, "_warned_full", False):
+            self._warned_full = True
+            print(f"slam: memory full ({self.committed_imgs} keyframes, "
+                  f"capacity {self._cap} tokens) -- further frames are "
+                  f"tracked against the frozen map (raise max_keyframes "
+                  f"or enable kv_quant for 2x capacity)")
         spec = getattr(self, "_spec", None)
         if spec is not None and spec[0] == frame_id and spec[1] == hw:
             # speculatively encoded last frame-step: skip the encoder
-            self.mem, packed, maps = self._frame_from_x_fn(
-                self.params, self.mem, spec[2], pos, hw, is_first,
-                float(self._seq_focal(cam_id)))
+            if full:
+                packed, maps = self._frame_render_from_x_fn(
+                    self.params, self.mem, spec[2], pos, hw,
+                    float(self._seq_focal(cam_id)))
+            else:
+                self.mem, packed, maps = self._frame_from_x_fn(
+                    self.params, self.mem, spec[2], pos, hw, is_first,
+                    float(self._seq_focal(cam_id)))
             self._spec = None
         else:
             if spec is not None:
                 self._spec = None         # stale (id or shape mismatch)
-            self.mem, packed, maps = self._frame_fn(
-                self.params, self.mem, img, pos, is_first,
-                float(self._seq_focal(cam_id)))
+            if full:
+                packed, maps = self._frame_render_fn(
+                    self.params, self.mem, img, pos,
+                    float(self._seq_focal(cam_id)))
+            else:
+                self.mem, packed, maps = self._frame_fn(
+                    self.params, self.mem, img, pos, is_first,
+                    float(self._seq_focal(cam_id)))
         if spec_next is not None:
             # dispatch the NEXT frame's encode before this frame's blocking
             # fetch: it runs on-device during the host's decision work
@@ -417,8 +479,9 @@ class Must3rSLAM:
             novel = score > cfg.keyframe_overlap_thr
         else:
             novel = score < cfg.keyframe_overlap_thr
-        iskeyframe = bool(is_first or
-                          (novel and conf_median > cfg.min_conf_keyframe))
+        iskeyframe = bool(not full and
+                          (is_first or
+                           (novel and conf_median > cfg.min_conf_keyframe)))
 
         if iskeyframe:
             self.committed_len = old_len + self._n_tokens
@@ -433,8 +496,9 @@ class Must3rSLAM:
                 m = np.asarray(maps)
                 self.keyframe_pointmaps.append(
                     [m[0], np.asarray(prep["img"]), m[2][..., 0]])
-        else:
-            # O(1) rollback of the tentative tokens (one async dispatch)
+        elif not full:
+            # O(1) rollback of the tentative tokens (one async dispatch);
+            # the full-path render never touched the memory
             self.mem = self._rollback_fn(self.mem, old_len, old_imgs)
 
         sf = self._agent(cam_id)

@@ -41,17 +41,39 @@ def synth_frames(n, h, w, seed=0):
     return out
 
 
-def soak_slam(frames):
+def _configs(tiny: bool):
+    if tiny:
+        # CPU-runnable towers: the soak then exercises the HOST pipeline
+        # (keyframe bookkeeping, memory growth, compaction cadence) at
+        # benchmark sequence lengths without a chip
+        from must3r_tpu.config import DecoderConfig, EncoderConfig
+        enc_cfg = EncoderConfig(img_size=(64, 64), patch_size=16,
+                                embed_dim=64, depth=2, num_heads=2)
+        dec_cfg = DecoderConfig(img_size=(64, 64), enc_embed_dim=64,
+                                patch_size=16, embed_dim=32,
+                                output_dim=16 * 16 * 7, depth=2,
+                                num_heads=2)
+        return enc_cfg, dec_cfg
     from must3r_tpu.config import must3r_512_configs
+    return must3r_512_configs()
+
+
+def soak_slam(frames, tiny=False):
     from must3r_tpu.models import init_decoder, init_encoder
     from must3r_tpu.slam.model import Must3rSLAM, SlamConfig
 
-    enc_cfg, dec_cfg = must3r_512_configs()
+    enc_cfg, dec_cfg = _configs(tiny)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     params = {"encoder": init_encoder(k1, enc_cfg),
               "decoder": init_decoder(k2, dec_cfg)}
-    slam = Must3rSLAM(params, enc_cfg, dec_cfg,
-                      SlamConfig(res=512, max_keyframes=128))
+    # tiny mode: random weights never trip the keyframe rule, so force
+    # (overlap thr 0 / conf thr 0) -- the soak must GROW the memory to
+    # max_keyframes and exercise the capacity/eviction path
+    cfg = SlamConfig(res=64, max_keyframes=128,
+                     keyframe_overlap_thr=-1.0, min_conf_keyframe=0.0) \
+        if tiny else SlamConfig(res=512, max_keyframes=128)
+    slam = Must3rSLAM(params, enc_cfg, dec_cfg, cfg,
+                      dtype=jnp.float32 if tiny else jnp.bfloat16)
 
     n = len(frames)
     windows = []
@@ -77,20 +99,19 @@ def soak_slam(frames):
     }
 
 
-def soak_video(n_frames=120):
-    from must3r_tpu.config import must3r_512_configs
+def soak_video(n_frames=120, tiny=False):
     from must3r_tpu.engine import InferenceCore
     import must3r_tpu.engine.video as video_mod
     import must3r_tpu.memory as memory_mod
     from must3r_tpu.engine.video import video_reconstruction
     from must3r_tpu.models import init_decoder, init_encoder
 
-    enc_cfg, dec_cfg = must3r_512_configs()
+    enc_cfg, dec_cfg = _configs(tiny)
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     core = InferenceCore(init_encoder(k1, enc_cfg),
                          init_decoder(k2, dec_cfg), enc_cfg, dec_cfg,
-                         dtype=jnp.bfloat16)
-    h, w = 384, 512
+                         dtype=jnp.float32 if tiny else jnp.bfloat16)
+    h, w = (48, 64) if tiny else (384, 512)
     rngj = jax.random.PRNGKey(1)
     imgs = jax.random.normal(rngj, (n_frames, h, w, 3), jnp.float32)
 
@@ -138,23 +159,25 @@ def main():
     ap.add_argument("--video_frames", type=int, default=120)
     ap.add_argument("--skip_slam", action="store_true")
     ap.add_argument("--skip_video", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="CPU-runnable towers (host-pipeline soak)")
     args = ap.parse_args()
 
     report = {}
     if not args.skip_video:
         print("video compaction soak...", flush=True)
-        report["video"] = soak_video(args.video_frames)
+        report["video"] = soak_video(args.video_frames, args.tiny)
         print(json.dumps(report["video"], indent=2), flush=True)
     if not args.skip_slam:
         print(f"slam soak ({args.frames} frames)...", flush=True)
-        frames = synth_frames(args.frames, 384, 512)
-        report["slam"] = soak_slam(frames)
+        frames = synth_frames(args.frames, *((48, 64) if args.tiny else (384, 512)))
+        report["slam"] = soak_slam(frames, args.tiny)
         print(json.dumps(report["slam"], indent=2), flush=True)
 
     os.makedirs("docs", exist_ok=True)
-    with open("docs/SOAK_VO.json", "w") as f:
+    with open("docs/SOAK_VO_TINY.json" if args.tiny else "docs/SOAK_VO.json", "w") as f:
         json.dump(report, f, indent=2)
-    print("wrote docs/SOAK_VO.json")
+    print('wrote soak report')
 
 
 if __name__ == "__main__":

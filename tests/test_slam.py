@@ -292,3 +292,64 @@ def test_slam_speculative_pipelining_parity(slam_params, rng):
     for a, b in zip(outs[False][0], outs[True][0]):
         assert a["iskeyframe"] == b["iskeyframe"]
         np.testing.assert_allclose(a["focal"], b["focal"], rtol=1e-6)
+
+
+def test_slam_reinit_terminates_at_num_init_frames(slam_params, rng):
+    """num_init_frames=2: the map re-initializes exactly once (at frame 1)
+    and then GROWS -- the replayed init frames must stay in all_images
+    (reference slam/model.py:491) or the engine re-inits on every frame
+    and committed memory never exceeds the init pair."""
+    cfg = SlamConfig(res=32, num_init_frames=2, max_keyframes=16,
+                     kf_x_subsamp=2, keyframe_overlap_thr=-1.0,
+                     min_conf_keyframe=0.0)   # force-accept every frame
+    slam = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg,
+                      dtype=jnp.float32, impl="chunked")
+    for i, f in enumerate(_frames(rng, 5)):
+        slam(f, i, return_maps=False)
+    # frames 0..4 all keyframes; the reset at frame 1 rebuilds [0, 1]
+    assert slam.keyframes == [0, 1, 2, 3, 4]
+    assert slam.committed_imgs == 5
+    # init list stopped growing at num_init_frames (rerender off)
+    assert len(slam.all_images) == 2
+    # one pose per PRESENTED frame survives the re-init replay
+    assert len(slam.all_poses) == 5
+    assert slam.all_timestamps == [0, 1, 2, 3, 4]
+
+
+def test_slam_capacity_gate_freezes_map(slam_params, rng):
+    """When the keyframe memory is full, further frames are tracked
+    against the frozen map (read-only render): no keyframe commits, no
+    append past the buffer end (which would clamp and overwrite the last
+    keyframe's tokens), and the committed map stays byte-identical."""
+    import must3r_tpu.slam.model as slam_mod
+
+    # res=32 -> 4 tokens/frame; capacity normally rounds up to 1024
+    # tokens, which 40 tiny frames never fill -- pin the rounding so the
+    # gate actually engages in CI
+    cfg = SlamConfig(res=32, num_init_frames=1, max_keyframes=6,
+                     kf_x_subsamp=2, keyframe_overlap_thr=-1.0,
+                     min_conf_keyframe=0.0)   # force-accept until full
+    orig_round = slam_mod.round_capacity
+    slam_mod.round_capacity = lambda n, block=1024: n
+    try:
+        slam = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg,
+                          dtype=jnp.float32, impl="chunked")
+        frames = _frames(rng, 40)
+        outs = [slam(f, i, return_maps=False)
+                for i, f in enumerate(frames)]
+    finally:
+        slam_mod.round_capacity = orig_round
+
+    n_fit = slam._cap // slam._n_tokens
+    assert len(slam.keyframes) == n_fit          # grew exactly to capacity
+    assert slam.committed_imgs == n_fit
+    assert int(np.asarray(slam.mem.length)) == slam.committed_len
+    assert slam.committed_len <= slam._cap
+    kv_at_full = np.asarray(slam.mem.kv)
+
+    # all post-capacity frames: tracked, not keyframed, memory untouched
+    for o in outs[n_fit:]:
+        assert not o["iskeyframe"]
+        assert np.isfinite(o["c2w"]).all()
+    np.testing.assert_array_equal(np.asarray(slam.mem.kv), kv_at_full)
+    assert len(slam.all_poses) == len(frames)
