@@ -178,8 +178,9 @@ def test_offline_with_refinement_and_subsets(core, rng):
 
 def test_offline_fused_update_run_parity(core, rng):
     """The scan-fused 1-view-batch run (on_update=None) must match the
-    per-view update path (forced by passing an on_update callback)."""
-    imgs = jnp.asarray(rng.standard_normal((6, 32, 32, 3)), jnp.float32)
+    per-view update path (forced by passing an on_update callback).
+    10 views -> 8 rest views: one full chunk-8 lax.scan + remainder."""
+    imgs = jnp.asarray(rng.standard_normal((10, 32, 32, 3)), jnp.float32)
     out_fused = offline_reconstruction(core, imgs, render_bs=3)
     out_per = offline_reconstruction(core, imgs, render_bs=3,
                                      on_update=lambda ids, d: None)
