@@ -182,3 +182,95 @@ def test_compact_batched_divergent_holes(rng):
     np.testing.assert_array_equal(lab[1, 4:8], 4)
     np.testing.assert_allclose(np.asarray(out.kv[0, 0, 0, :4, 0]), 3.0)
     np.testing.assert_allclose(np.asarray(out.kv[0, 1, 0, 4:8, 0]), 5.0)
+
+
+def test_memory_ops_random_composition_vs_model(rng):
+    """Model-based test: a random sequence of append/evict/relabel/
+    refresh/compact must keep the MemoryState's live (label, token) list
+    identical to a plain-python reference model (slot order == append
+    order of survivors; compact is stable)."""
+    import jax.numpy as jnp
+
+    from must3r_tpu.memory import (append_tokens, compact, evict_label,
+                                   init_memory, refresh_label_from_segment,
+                                   relabel)
+
+    L, H, Dh, CAP = 2, 1, 4, 64
+    mem = init_memory(L, 1, H, Dh, CAP, dtype=jnp.float32)
+    model = []            # ordered list of [label, value]
+    next_label = 0
+    next_value = 1.0
+
+    def live_from_mem(m):
+        lab = np.asarray(m.labels[0])
+        n = int(np.asarray(m.length))
+        kv = np.asarray(m.kv)            # [L, 1, H, S, 2Dh]
+        out = []
+        for p in range(n):
+            if lab[p] >= 0:
+                vals = kv[:, 0, :, p, :]
+                assert (vals == vals.flat[0]).all()   # constant fill
+                out.append([int(lab[p]), float(vals.flat[0])])
+        return out
+
+    def model_len():
+        return len(model)
+
+    for step in range(60):
+        op = rng.integers(0, 5)
+        labels_live = sorted({lab for lab, _ in model})
+        if op == 0 or not labels_live:                     # append 1-2 toks
+            t = int(rng.integers(1, 3))
+            if model_len() + t > CAP - 8:
+                mem = compact(mem)
+                # compact drops nothing live; model unchanged
+            new_kv = np.stack([np.full((1, H, t, 2 * Dh),
+                                       next_value + j, np.float32)
+                               for j in range(L)]).reshape(L, 1, H, t,
+                                                           2 * Dh)
+            # distinct constant PER TOKEN, shared across layers
+            for j in range(t):
+                new_kv[:, :, :, j, :] = next_value + j
+            lab = np.full((1, t), next_label, np.int32)
+            mem = append_tokens(mem, jnp.asarray(new_kv), jnp.asarray(lab))
+            for j in range(t):
+                model.append([next_label, next_value + j])
+            next_label += 1
+            next_value += t
+        elif op == 1:                                      # evict
+            target = int(rng.choice(labels_live))
+            mem = evict_label(mem, target)
+            model = [e for e in model if e[0] != target]
+        elif op == 2:                                      # relabel
+            target = int(rng.choice(labels_live))
+            mem = relabel(mem, target, next_label)
+            for e in model:
+                if e[0] == target:
+                    e[0] = next_label
+            next_label += 1
+        elif op == 3:                                      # compact
+            mem = compact(mem)
+        else:                                              # refresh in place
+            target = int(rng.choice(labels_live))
+            cnt = sum(1 for e in model if e[0] == target)
+            seg0 = int(np.asarray(mem.length))
+            if seg0 + cnt > CAP:
+                mem = compact(mem)
+                seg0 = int(np.asarray(mem.length))
+            new_kv = np.empty((L, 1, H, cnt, 2 * Dh), np.float32)
+            for j in range(cnt):
+                new_kv[:, :, :, j, :] = next_value + j
+            tmp = np.full((1, cnt), next_label, np.int32)
+            mem = append_tokens(mem, jnp.asarray(new_kv), jnp.asarray(tmp))
+            mem = refresh_label_from_segment(mem, target, seg0, cnt)
+            mem = evict_label(mem, next_label)
+            k = 0
+            for e in model:
+                if e[0] == target:
+                    e[1] = next_value + k
+                    k += 1
+            next_label += 1
+            next_value += cnt
+
+        got = live_from_mem(mem)
+        assert got == model, f"step {step} op {op}: {got} != {model}"
