@@ -108,9 +108,12 @@ def bench_two_view_224_batched():
     One scene leaves 224-class matmuls tiny ([392, 1024] activations,
     ~29 TF/s effective -- docs/PERF.md); batching scenes is the lever."""
     from must3r_tpu.config import must3r_224_configs
+    # vs_baseline deliberately None: the published-recipe comparison is
+    # the 1-scene config above; an 8-scene aggregate over the 1-scene
+    # baseline would read as a fake ~8x
     _offline(must3r_224_configs(), 2, 224, 224,
              "views_per_sec_offline_224x224_2views_x8scenes",
-             BASELINE_OFFLINE_224, n_scenes=8)
+             None, n_scenes=8)
 
 
 def bench_offline_512():
@@ -365,13 +368,22 @@ BENCHES = {
 
 def main():
     names = sys.argv[1:] or list(BENCHES)
+    unknown = [n for n in names if n not in BENCHES]
+    if unknown:
+        print(f"unknown bench name(s) {unknown}; valid: {list(BENCHES)}",
+              file=sys.stderr)
+        sys.exit(2)
+    failed = False
     for name in names:
         try:
             BENCHES[name]()
         except Exception as e:  # isolate: one failing config must not
             # silence the remaining (esp. the headline, printed last)
+            failed = True
             print(f"bench {name} failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -133,17 +133,27 @@ def pnp_pose(pts3d: np.ndarray, conf: np.ndarray, focal: float,
     gx, gy = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
     pix = np.stack([gx, gy], -1).reshape(-1, 2).astype(np.float64)
     c = np.asarray(conf, np.float64).reshape(-1)
-    keep = np.flatnonzero(c > conf_thr)
+    # non-finite pointmap values (exp-activation overflow on degenerate
+    # checkpoints) and a non-finite focal make cv2 raise; degrade to the
+    # identity like the documented solver-failure contract instead
+    finite = np.isfinite(pts).all(axis=1)
+    if not np.isfinite(focal) or focal <= 0 or finite.sum() < 6:
+        return np.eye(4)
+    c = np.where(finite, c, -np.inf)
+    keep = np.flatnonzero((c > conf_thr) & finite)
     if len(keep) < 6:
-        keep = np.argsort(-c)[:min(len(c), max(6, max_points))]
+        keep = np.argsort(-c)[:min(int(finite.sum()), max(6, max_points))]
     if len(keep) > max_points:
         keep = keep[np.argsort(-c[keep])[:max_points]]
     kmat = np.array([[focal, 0.0, w / 2.0],
                      [0.0, focal, h / 2.0],
                      [0.0, 0.0, 1.0]])
-    ok, rvec, tvec, _ = cv2.solvePnPRansac(
-        pts[keep], pix[keep], kmat, None, iterationsCount=100,
-        reprojectionError=reproj_err, flags=cv2.SOLVEPNP_ITERATIVE)
+    try:
+        ok, rvec, tvec, _ = cv2.solvePnPRansac(
+            pts[keep], pix[keep], kmat, None, iterationsCount=100,
+            reprojectionError=reproj_err, flags=cv2.SOLVEPNP_ITERATIVE)
+    except cv2.error:
+        return np.eye(4)
     if not ok:
         return np.eye(4)
     rot = cv2.Rodrigues(rvec)[0]           # world -> camera

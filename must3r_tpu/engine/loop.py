@@ -478,12 +478,18 @@ class Trainer:
     def train(self):
         cfg = self.cfg
         self.try_resume()
-        for epoch in range(self.start_epoch, cfg.epochs):
-            stats = self.train_one_epoch(epoch)
-            self.save(epoch, "last")
-            if cfg.keep_freq and (epoch + 1) % cfg.keep_freq == 0:
-                self.save(epoch, str(epoch + 1))
-            print(f"epoch {epoch} done: {stats}")
-        self.save(cfg.epochs - 1, "final")
-        self.wait_for_save()
+        try:
+            for epoch in range(self.start_epoch, cfg.epochs):
+                stats = self.train_one_epoch(epoch)
+                self.save(epoch, "last")
+                if cfg.keep_freq and (epoch + 1) % cfg.keep_freq == 0:
+                    self.save(epoch, str(epoch + 1))
+                print(f"epoch {epoch} done: {stats}")
+            self.save(cfg.epochs - 1, "final")
+        finally:
+            # join the background writer even on SystemExit (NaN guard) or
+            # KeyboardInterrupt: orbax save(force=True) deletes the OLD
+            # checkpoint-last before writing, so killing a daemon writer
+            # mid-flight would leave NO resumable checkpoint at all
+            self.wait_for_save()
         return self.logger.smoothed()

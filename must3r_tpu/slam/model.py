@@ -24,6 +24,7 @@ rollback dispatch on rejection); the KD-tree runs on the host.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import pickle
 from typing import List, Optional
 
@@ -83,7 +84,6 @@ class Must3rSLAM:
         self.impl = impl
         self.square = max(enc_cfg.img_size) in (224, 336, 448)
 
-        self._step_fn = jax.jit(self._step, donate_argnums=(1,))
         self._post_fn = jax.jit(self._post, static_argnums=(2,))
         # one fused per-frame program + one O(1) rollback program: through
         # a remote tunnel every dispatch/fetch costs a round trip, so the
@@ -94,13 +94,17 @@ class Must3rSLAM:
                                         donate_argnums=(1,),
                                         static_argnums=(4, 5))
         self._spec_encode_fn = jax.jit(self._spec_encode)
-        # capacity-full frames: read-only render (identical predictions --
-        # the update path's self-exclusion mask means a frame never sees
-        # its own tentative tokens -- but no append, so a full memory is
-        # never written past its last slot)
-        self._frame_render_fn = jax.jit(self._frame_step_render)
+        # capacity-full frames: the same programs with append=False
+        # (read-only render; identical predictions -- the update path's
+        # self-exclusion mask means a frame never sees its own tentative
+        # tokens -- but the full memory is never written past its last
+        # slot). No donation: the memory must survive the call.
+        self._frame_render_fn = jax.jit(
+            functools.partial(self._frame_step, append=False),
+            static_argnums=(4,))
         self._frame_render_from_x_fn = jax.jit(
-            self._frame_step_render_from_x, static_argnums=(4,))
+            functools.partial(self._frame_step_from_x, append=False),
+            static_argnums=(4, 5))
         self._rollback_fn = jax.jit(
             lambda mem, length, n: truncate(mem, length, n),
             donate_argnums=(0,))
@@ -112,18 +116,6 @@ class Must3rSLAM:
         self.reset()
 
     # -- jitted device programs --------------------------------------------
-
-    def _step(self, params, mem, img, pos):
-        """encode -> tentative update -> head, one dispatch."""
-        x = encoder_forward(params["encoder"], self.enc_cfg, img, pos,
-                            dtype=self.dtype, impl=self.impl)
-        mem, toks = decoder_update(params["decoder"], self.dec_cfg, mem,
-                                   x[:, None], pos[:, None], causal=False,
-                                   dtype=self.dtype, unroll_layers=True,
-                                   impl=self.impl)
-        hw = (img.shape[1], img.shape[2])
-        pm = decoder_head(params["decoder"], self.dec_cfg, toks, hw)
-        return mem, pm[0, 0]
 
     def _post(self, pm, seq_focal, is_first: bool):
         """Activation, focal + rectified Procrustes pose, overlap inputs."""
@@ -156,17 +148,41 @@ class Must3rSLAM:
             sub_depth=local[::s, ::s, 2],
         )
 
-    def _frame_step(self, params, mem, img, pos, is_first: bool, seq_focal):
-        """Full per-frame device program: encode -> tentative update ->
-        head -> activation/pose/overlap-inputs, with the small host-needed
-        quantities packed into ONE flat vector (single fetch)."""
+    def _frame_tail(self, params, mem, x, pos, hw, is_first: bool,
+                    seq_focal, append: bool):
+        """Shared tail of every frame program: (tentative update | read-
+        only render) -> head -> activation/pose/overlap-inputs -> pack.
+        append=False is the capacity-full path: identical predictions
+        (the update path self-excludes a frame's own tokens) but the
+        memory is never written."""
+        if append:
+            mem, toks = decoder_update(params["decoder"], self.dec_cfg,
+                                       mem, x[:, None], pos[:, None],
+                                       causal=False, dtype=self.dtype,
+                                       unroll_layers=True, impl=self.impl)
+        else:
+            toks = decoder_render(params["decoder"], self.dec_cfg, mem,
+                                  x[:, None], pos[:, None],
+                                  dtype=self.dtype, impl=self.impl)
+        pm = decoder_head(params["decoder"], self.dec_cfg, toks, hw)
+        post = self._post(pm[0, 0], seq_focal, is_first)
+        return self._pack_outputs(mem, post)
+
+    def _frame_step(self, params, mem, img, pos, is_first: bool, seq_focal,
+                    append: bool = True):
+        """Full per-frame device program: encode -> tentative update (or
+        read-only render when the memory is full) -> head -> activation/
+        pose/overlap-inputs, with the small host-needed quantities packed
+        into ONE flat vector (single fetch)."""
         if img.dtype == jnp.uint8:
             # on-device ImgNorm: frames upload as uint8 (4x less tunnel
             # bandwidth than fp32)
             img = (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-        mem, pm = self._step(params, mem, img, pos)
-        post = self._post(pm, seq_focal, is_first)
-        return self._pack_outputs(mem, post)
+        x = encoder_forward(params["encoder"], self.enc_cfg, img, pos,
+                            dtype=self.dtype, impl=self.impl)
+        hw = (img.shape[1], img.shape[2])
+        return self._frame_tail(params, mem, x, pos, hw, is_first,
+                                seq_focal, append)
 
     def _spec_encode(self, params, img, pos):
         """Speculative encoder program: memory/decision-independent, so the
@@ -178,43 +194,11 @@ class Must3rSLAM:
         return encoder_forward(params["encoder"], self.enc_cfg, img, pos,
                                dtype=self.dtype, impl=self.impl)
 
-    def _frame_step_render(self, params, mem, img, pos, seq_focal):
-        """`_frame_step` for a FULL memory: encode -> read-only render ->
-        head -> post; the memory is not touched (no donation, no append)."""
-        if img.dtype == jnp.uint8:
-            img = (img.astype(jnp.float32) / 255.0 - 0.5) / 0.5
-        x = encoder_forward(params["encoder"], self.enc_cfg, img, pos,
-                            dtype=self.dtype, impl=self.impl)
-        toks = decoder_render(params["decoder"], self.dec_cfg, mem,
-                              x[:, None], pos[:, None], dtype=self.dtype,
-                              impl=self.impl)
-        hw = (img.shape[1], img.shape[2])
-        pm = decoder_head(params["decoder"], self.dec_cfg, toks, hw)
-        post = self._post(pm[0, 0], seq_focal, False)
-        _, packed, maps = self._pack_outputs(mem, post)
-        return packed, maps
-
-    def _frame_step_render_from_x(self, params, mem, x, pos, hw,
-                                  seq_focal):
-        """Render-only frame step with a speculatively pre-encoded frame."""
-        toks = decoder_render(params["decoder"], self.dec_cfg, mem,
-                              x[:, None], pos[:, None], dtype=self.dtype,
-                              impl=self.impl)
-        pm = decoder_head(params["decoder"], self.dec_cfg, toks, hw)
-        post = self._post(pm[0, 0], seq_focal, False)
-        _, packed, maps = self._pack_outputs(mem, post)
-        return packed, maps
-
     def _frame_step_from_x(self, params, mem, x, pos, hw, is_first: bool,
-                           seq_focal):
+                           seq_focal, append: bool = True):
         """`_frame_step` with a speculatively pre-encoded frame."""
-        mem, toks = decoder_update(params["decoder"], self.dec_cfg, mem,
-                                   x[:, None], pos[:, None], causal=False,
-                                   dtype=self.dtype, unroll_layers=True,
-                                   impl=self.impl)
-        pm = decoder_head(params["decoder"], self.dec_cfg, toks, hw)
-        post = self._post(pm[0, 0], seq_focal, is_first)
-        return self._pack_outputs(mem, post)
+        return self._frame_tail(params, mem, x, pos, hw, is_first,
+                                seq_focal, append)
 
     def _pack_outputs(self, mem, post):
         packed = jnp.concatenate([
@@ -259,6 +243,7 @@ class Must3rSLAM:
         self.mem: Optional[MemoryState] = None
         self._spec = None                 # speculative (id, hw, x_enc)
         self._warned_full = False
+        self._init_satisfied = False      # True once loaded/initialized
         self._hw = None
         self._n_tokens = None
         self.committed_len = 0
@@ -377,6 +362,7 @@ class Must3rSLAM:
         # restarts from scratch including all previous init frames
         # (reference slam/model.py:484-496)
         if self.mem is not None and self.committed_imgs > 0 and \
+                not getattr(self, "_init_satisfied", False) and \
                 len(self.all_images) < cfg.num_init_frames:
             init_imgs = [v for v in self.all_images]
             init_ids = list(self.all_timestamps)
@@ -439,8 +425,8 @@ class Must3rSLAM:
         if spec is not None and spec[0] == frame_id and spec[1] == hw:
             # speculatively encoded last frame-step: skip the encoder
             if full:
-                packed, maps = self._frame_render_from_x_fn(
-                    self.params, self.mem, spec[2], pos, hw,
+                _, packed, maps = self._frame_render_from_x_fn(
+                    self.params, self.mem, spec[2], pos, hw, False,
                     float(self._seq_focal(cam_id)))
             else:
                 self.mem, packed, maps = self._frame_from_x_fn(
@@ -451,8 +437,8 @@ class Must3rSLAM:
             if spec is not None:
                 self._spec = None         # stale (id or shape mismatch)
             if full:
-                packed, maps = self._frame_render_fn(
-                    self.params, self.mem, img, pos,
+                _, packed, maps = self._frame_render_fn(
+                    self.params, self.mem, img, pos, False,
                     float(self._seq_focal(cam_id)))
             else:
                 self.mem, packed, maps = self._frame_fn(
@@ -603,3 +589,10 @@ class Must3rSLAM:
         self.committed_len, self.committed_imgs = blob["committed"]
         self.keyframe_pointmaps = blob["keyframe_pointmaps"]
         self.overlap_tree = blob["overlap_tree"]
+        # the loaded map is already initialized: mark init as satisfied so
+        # the re-initialization gate (len(all_images) < num_init_frames)
+        # cannot wipe it on the first frame, and restore the capacity
+        # bookkeeping the gate and the full-memory path read
+        self._init_satisfied = True
+        self._cap = self.mem.kv.shape[3]
+        self._warned_full = False

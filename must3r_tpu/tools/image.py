@@ -16,9 +16,13 @@ from __future__ import annotations
 import os
 from typing import Dict, List, Sequence, Tuple
 
+import threading
+
 import numpy as np
 import PIL.Image
 import PIL.ImageOps
+
+_TRUNCATED_RETRY_LOCK = threading.Lock()
 
 # reference tools/image.py:17-24 -- one dict per max dimension; keys are
 # landscape aspect ratios, values are [long, short] resolutions
@@ -303,14 +307,20 @@ def load_image(path: str) -> np.ndarray:
             return np.asarray(pil.convert("RGB"))
     except OSError:
         from PIL import ImageFile
-        prev = ImageFile.LOAD_TRUNCATED_IMAGES
-        ImageFile.LOAD_TRUNCATED_IMAGES = True
-        try:
-            with PIL.Image.open(path) as pil:
-                pil = PIL.ImageOps.exif_transpose(pil)
-                return np.asarray(pil.convert("RGB"))
-        finally:
-            ImageFile.LOAD_TRUNCATED_IMAGES = prev
+
+        # LOAD_TRUNCATED_IMAGES is process-global; dataset __getitem__
+        # runs on loader threads, so serialize the flip (two concurrent
+        # retries would otherwise race the restore and either re-raise or
+        # leave truncated mode on for every later load)
+        with _TRUNCATED_RETRY_LOCK:
+            prev = ImageFile.LOAD_TRUNCATED_IMAGES
+            ImageFile.LOAD_TRUNCATED_IMAGES = True
+            try:
+                with PIL.Image.open(path) as pil:
+                    pil = PIL.ImageOps.exif_transpose(pil)
+                    return np.asarray(pil.convert("RGB"))
+            finally:
+                ImageFile.LOAD_TRUNCATED_IMAGES = prev
 
 
 def load_images(paths: Sequence[str], maxdim, patch_size: int = 16,

@@ -168,12 +168,21 @@ def test_slam_trajectory_export(slam_params, rng, tmp_path):
 
     mp = str(tmp_path / "memory.pkl")
     slam.save_memory(mp)
-    slam2 = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg,
+    # session resume: load under a num_init_frames=2 config and PROCESS a
+    # frame -- the re-initialization gate must not wipe the loaded map
+    # (regression: all_images is empty after load, which used to look
+    # like an unfinished init and reset() everything)
+    cfg2 = SlamConfig(res=32, num_init_frames=2, max_keyframes=8,
+                      kf_x_subsamp=2)
+    slam2 = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg2,
                        dtype=jnp.float32, impl="chunked")
     slam2.load_memory(mp)
     assert slam2.committed_imgs == slam.committed_imgs
     np.testing.assert_array_equal(np.asarray(slam2.mem.labels),
                                   np.asarray(slam.mem.labels))
+    out = slam2(_frames(rng, 1)[0], 99, return_maps=False)
+    assert np.isfinite(out["c2w"]).all()
+    assert slam2.committed_imgs >= slam.committed_imgs  # map survived
 
 
 def test_slam_multi_agent_focals(slam_params, rng):
