@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# One-shot hardware measurement batch: run when the TPU tunnel is alive.
+# Probe first (60s): a dead tunnel black-holes backend init for ~20 min.
+#
+#   bash scripts/tpu_roundup.sh [outdir]
+#
+# Produces, under outdir (default docs/hw_roundup):
+#   probe.txt        tunnel health + device list
+#   kernels.txt      real-TPU Pallas kernel suite (incl. quantized cache)
+#   bench.jsonl      all bench.py configs (one JSON line each)
+#   train_batch.txt  train-step batch scaling (b=1/2/4) at 224/20-view
+set -u
+cd "$(dirname "$0")/.."
+OUT="${1:-docs/hw_roundup}"
+mkdir -p "$OUT"
+
+echo "== probe =="
+if ! timeout 90 python -c "import jax,time; t=time.time(); d=jax.devices(); \
+import jax.numpy as jnp; (jnp.ones((512,512))@jnp.ones((512,512))).block_until_ready(); \
+print('ALIVE', d, round(time.time()-t,1))" > "$OUT/probe.txt" 2>&1; then
+  echo "TPU tunnel not reachable (see $OUT/probe.txt) -- aborting early"
+  exit 3
+fi
+cat "$OUT/probe.txt"
+
+echo "== driver entry compile check =="
+timeout 2400 python -c "import __graft_entry__ as g, jax, time; fn, a = g.entry(); \
+t=time.time(); jax.jit(fn)(*a); print('entry OK', round(time.time()-t,1), 's')" \
+  2>&1 | tail -2
+
+echo "== real-TPU kernel suite =="
+JAX_REAL_TPU=1 timeout 3600 python -m pytest tests/test_tpu_kernels.py -q \
+  > "$OUT/kernels.txt" 2>&1
+tail -2 "$OUT/kernels.txt"
+
+echo "== bench (all configs) =="
+timeout 5400 python bench.py > "$OUT/bench.jsonl" 2> "$OUT/bench.err"
+cat "$OUT/bench.jsonl"
+
+echo "== train-step batch scaling =="
+for b in 1 2 4; do
+  echo "--- batch $b ---"
+  timeout 2400 python scripts/profile_train.py --batch "$b" 2>&1 | tail -8
+done | tee "$OUT/train_batch.txt"
+
+echo "roundup complete: $OUT"
