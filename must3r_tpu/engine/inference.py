@@ -563,7 +563,8 @@ def offline_reconstruction_multi_ar(core: InferenceCore,
 
 def make_fused_offline(core: InferenceCore, n_views: int, img_hw,
                        init_num_images: int = 2, compute_cam: bool = True,
-                       capacity_block: int = 1024, n_scenes: int = 1):
+                       capacity_block: int = 1024, n_scenes: int = 1,
+                       mesh=None):
     """Compile the ENTIRE offline reconstruction into one XLA program:
     encode all views -> init update -> lax.scan of 1-view updates ->
     batched render -> head -> postprocess.
@@ -578,6 +579,11 @@ def make_fused_offline(core: InferenceCore, n_views: int, img_hw,
     op): at small per-scene shapes (e.g. 224 2-view) one scene leaves
     the MXU matmuls tiny, so bulk serving should batch scenes --
     `run(imgs[S, V, H, W, 3], portrait[S, V])` -> leading [S, V] outputs.
+
+    mesh (with a 'dp' axis) scales that across chips: scenes shard over
+    dp via shard_map, each chip running the full pipeline on its local
+    n_scenes/dp collections with no cross-device communication -- the
+    multi-chip bulk-serving mode (the reference has no equivalent).
     """
     enc_cfg, dec_cfg = core.enc_cfg, core.dec_cfg
     h, w = img_hw
@@ -587,13 +593,16 @@ def make_fused_offline(core: InferenceCore, n_views: int, img_hw,
     s = n_scenes
 
     def pipeline(enc_params, dec_params, imgs, pos, portrait):
-        # imgs [S, V, H, W, 3], pos [S, V, N, 2], portrait [S, V]
+        # imgs [S, V, H, W, 3], pos [S, V, N, 2], portrait [S, V].
+        # S comes from the argument (under shard_map it is the PER-SHARD
+        # scene count, not the global n_scenes).
+        sl = imgs.shape[0]
         x = encoder_forward(enc_params, enc_cfg,
-                            imgs.reshape(s * n_views, h, w, 3),
-                            pos.reshape(s * n_views, n, 2),
+                            imgs.reshape(sl * n_views, h, w, 3),
+                            pos.reshape(sl * n_views, n, 2),
                             dtype=core.enc_dtype, impl=core.impl)
-        x = x.reshape(s, n_views, n, -1)
-        mem = init_memory(dec_cfg.depth, s, dec_cfg.num_heads,
+        x = x.reshape(sl, n_views, n, -1)
+        mem = init_memory(dec_cfg.depth, sl, dec_cfg.num_heads,
                           dec_cfg.head_dim, cap, dtype=core.mem_dtype)
         mem, _ = decoder_update(dec_params, dec_cfg, mem, x[:, :g0],
                                 pos[:, :g0], causal=False,
@@ -618,7 +627,22 @@ def make_fused_offline(core: InferenceCore, n_views: int, img_hw,
         return postprocess(pm, dec_cfg.pointmaps_activation,
                            compute_cam=compute_cam)
 
-    jitted = jax.jit(pipeline)
+    if mesh is None:
+        jitted = jax.jit(pipeline)
+    else:
+        # Multi-chip bulk serving: scenes ride the mesh 'dp' axis via
+        # shard_map -- each chip reconstructs n_scenes/dp collections with
+        # the FULL pipeline (Pallas kernels see local shapes), zero
+        # cross-device communication. Params are broadcast once by jit.
+        from jax.sharding import PartitionSpec as P
+        dp = mesh.shape["dp"]
+        if n_scenes % dp != 0:
+            raise ValueError(
+                f"n_scenes={n_scenes} must divide over the dp axis ({dp})")
+        jitted = jax.jit(jax.shard_map(
+            pipeline, mesh=mesh,
+            in_specs=(P(), P(), P("dp"), P("dp"), P("dp")),
+            out_specs=P("dp"), check_vma=False))
 
     def run(imgs, portrait=None):
         scene_dim = imgs.ndim == 5

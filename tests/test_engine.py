@@ -231,3 +231,31 @@ def test_fused_offline_matches_host_loop(core, rng):
         np.testing.assert_allclose(np.asarray(got[k][1]),
                                    np.asarray(ref1[k]),
                                    rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_fused_offline_dp_mesh_scenes(core, rng):
+    """Multi-chip bulk serving: n_scenes sharded over a 4-device 'dp'
+    mesh (shard_map, zero cross-device traffic) == the single-device
+    batched run."""
+    from must3r_tpu.engine import make_fused_offline
+    from must3r_tpu.parallel import make_mesh
+
+    imgs = jnp.asarray(rng.standard_normal((8, 3, 32, 32, 3)), jnp.float32)
+    run1 = make_fused_offline(core, n_views=3, img_hw=(32, 32), n_scenes=8)
+    mesh = make_mesh(4, mp=1)
+    rund = make_fused_offline(core, n_views=3, img_hw=(32, 32), n_scenes=8,
+                              mesh=mesh)
+    want = run1(imgs)
+    got = rund(imgs)
+    for k in want:
+        # focal/c2w go through Weiszfeld IRLS / power iteration on random-
+        # weight outputs (focal gold ~3e-3): scheduling-order noise there
+        # is not a sharding error
+        tol = 1e-5 if k in ("pts3d", "pts3d_local", "conf") else 1e-3
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=tol, atol=tol, err_msg=k)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divide"):
+        make_fused_offline(core, n_views=3, img_hw=(32, 32), n_scenes=6,
+                           mesh=mesh)
