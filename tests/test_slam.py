@@ -362,3 +362,33 @@ def test_slam_capacity_gate_freezes_map(slam_params, rng):
         assert np.isfinite(o["c2w"]).all()
     np.testing.assert_array_equal(np.asarray(slam.mem.kv), kv_at_full)
     assert len(slam.all_poses) == len(frames)
+
+
+def test_slam_capacity_gate_with_quantized_cache(slam_params, rng):
+    """Capacity-full frozen-map tracking over an int8-quantized memory:
+    the read-only render must dequantize and stay finite, and the
+    quantized buffers must stay byte-identical past capacity."""
+    import must3r_tpu.slam.model as slam_mod
+
+    cfg = SlamConfig(res=32, num_init_frames=1, max_keyframes=4,
+                     kf_x_subsamp=2, keyframe_overlap_thr=-1.0,
+                     min_conf_keyframe=0.0, kv_quant="int8")
+    orig_round = slam_mod.round_capacity
+    slam_mod.round_capacity = lambda n, block=1024: n
+    try:
+        slam = Must3rSLAM(slam_params, ENC_CFG, DEC_CFG, cfg,
+                          dtype=jnp.float32, impl="chunked")
+        outs = [slam(f, i, return_maps=False)
+                for i, f in enumerate(_frames(rng, 10))]
+    finally:
+        slam_mod.round_capacity = orig_round
+
+    n_fit = slam._cap // slam._n_tokens
+    assert len(slam.keyframes) == n_fit
+    kv_at_full = np.asarray(slam.mem.kv)
+    assert kv_at_full.dtype == np.int8
+    for o in outs[n_fit:]:
+        assert not o["iskeyframe"]
+        assert np.isfinite(o["c2w"]).all()
+        assert np.isfinite(o["conf_median"])
+    np.testing.assert_array_equal(np.asarray(slam.mem.kv), kv_at_full)
