@@ -87,8 +87,13 @@ def _offline(configs, n_views, h, w, metric, baseline, n_scenes=1):
 
     run()  # warmup + compile
     # steady-state throughput: pipeline several runs per measurement so
-    # fixed per-dispatch latency is amortized as in production serving
-    reps = 4
+    # fixed per-dispatch latency is amortized as in production serving.
+    # Depth matters on remote-tunnel hosts: at 224 2-view (~12 ms device
+    # compute vs ~26 ms tunnel RTT) reps 1/4/16/32 measure 46/100/138/167
+    # views/s — only a deep pipeline reads the device rate the trace
+    # shows (docs/PERF.md round-3 roundup). 16 keeps the big configs'
+    # timed region bounded while sitting within ~15% of the asymptote.
+    reps = 16
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
