@@ -97,12 +97,17 @@ class Co3dPreprocessed(MultiViewDataset):
         p = self._paths(cat, inst, view_idx)
         if not osp.isfile(p["img"]) or not osp.isfile(p["meta"]):
             return None
-        meta = np.load(p["meta"])
-        pose = meta["camera_pose"].astype(np.float32)
-        k = meta["camera_intrinsics"].astype(np.float32)
-        img = load_image(p["img"])
+        try:
+            meta = np.load(p["meta"])
+            pose = meta["camera_pose"].astype(np.float32)
+            k = meta["camera_intrinsics"].astype(np.float32)
+            img = load_image(p["img"])
+        except (OSError, ValueError, KeyError):
+            # unreadable image/metadata -> signal "skip view"; the caller's
+            # invalid cache remembers (reference co3d.py:62-86 semantics)
+            return None
         d16 = _read_depth_png(p["depth"])
-        if d16 is None:
+        if d16 is None or d16.shape[:2] != img.shape[:2]:
             return None
         depth = d16 / 65535.0 * float(np.nan_to_num(meta["maximum_depth"]))
         if mask_bg:

@@ -32,7 +32,14 @@ def _ca_pallas_2h(q, kv, labels, kv_len, layer, block_k=None, block_q=None):
     head B's MXU dots -- the overlap that deferred-PV pipelining within a
     single chain could not buy (docs/PERF.md). Simplified to the serving
     shapes the microbench uses: g=1, no dropout mask, no quantized cache,
-    no folded rows, no LSE output.
+    no folded rows, no LSE output, and masking is `label >= 0` ONLY — the
+    production kernel's q_self self-exclusion and q_upper label-causality
+    predicates are dropped, so this variant must NOT be promoted to
+    ops/attention.py without restoring them. Precondition (same as the
+    production _ca_prep): labels at positions >= kv_len must be -1 and
+    kv_len > 0, else a fully-masked block yields NaN via
+    exp(-inf - (-inf)). Parity vs the production chunked path:
+    `python scripts/bench_ca_kernel.py --check`.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -46,6 +53,7 @@ def _ca_pallas_2h(q, kv, labels, kv_len, layer, block_k=None, block_q=None):
     n_qb = -(-n // bq)
     q_pad = n_qb * bq - n
     scale = 1.0 / math.sqrt(dh)
+    assert s_cap % bk == 0, (s_cap, bk)   # mirrors production _ca_prep
     len_and_layer = jnp.stack([jnp.asarray(kv_len, jnp.int32).reshape(()),
                                jnp.asarray(layer, jnp.int32).reshape(())])
     labels_tiled = labels.reshape(b * (s_cap // bk), 1, bk)
@@ -176,6 +184,36 @@ def bench(call, q, kv, labels, iters=20):
     return (time.perf_counter() - t0 - 0.026) / iters   # subtract tunnel RT
 
 
+def check_2h_parity():
+    """Numerics of the experimental 2h kernel vs the production chunked
+    path (the reproducible form of the PERF.md parity claim). Run on the
+    real chip; labels are valid (>=0) up to kv_len and -1 beyond, as the
+    kernel's precondition requires."""
+    key = jax.random.PRNGKey(0)
+    h, dh = 12, 64
+    worst = 0.0
+    for name, (n, s, kv_len) in {
+        "render_10v_512": (7680, 7680, 7680),
+        "update_1v_64kf": (768, 49152, 49152),
+        "partial_fill": (768, 49152, 9216),
+    }.items():
+        kq, kk = jax.random.split(jax.random.fold_in(key, hash(name) % 97))
+        q = jax.random.normal(kq, (1, 1, n, h, dh), jnp.bfloat16)
+        kv = jax.random.normal(kk, (12, 1, h, s, 2 * dh), jnp.bfloat16)
+        labels = jnp.where(jnp.arange(s) < kv_len, 0, -1)[None].astype(
+            jnp.int32)
+        got = _ca_pallas_2h(q, kv, labels, kv_len=kv_len,
+                            layer=jnp.int32(3))
+        want = memory_cross_attention(q, kv, labels, layer=jnp.int32(3),
+                                      impl="chunked")
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                    - want.astype(jnp.float32))))
+        worst = max(worst, err)
+        print(f"check {name:18s} max_err={err:.2e}", flush=True)
+    assert worst < 5e-3, worst
+    print(f"2h parity OK (worst {worst:.2e} bf16)")
+
+
 def main():
     key = jax.random.PRNGKey(0)
     h, dh = 12, 64
@@ -185,7 +223,13 @@ def main():
         # streaming update: 1 view queries vs 64-keyframe memory
         "update_1v_64kf": dict(b=1, g=1, n=768, s=49152),
     }
-    which = sys.argv[1:] or list(cases)
+    args = sys.argv[1:]
+    if "--check" in args:
+        check_2h_parity()
+        args.remove("--check")
+        if not args:
+            return
+    which = args or list(cases)
     for name in which:
         c = cases[name]
         b, g, n, s = c["b"], c["g"], c["n"], c["s"]

@@ -27,6 +27,30 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / subprocess / golden-regen tests "
+        "(skipped by default; enable with --runslow)")
+    config.addinivalue_line(
+        "markers", "timeout(seconds): advisory per-test budget "
+        "(enforced only if pytest-timeout is installed)")
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow (full suite, ~15 min; "
+                     "default tier is <8 min)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: pass --runslow to include")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

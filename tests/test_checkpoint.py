@@ -82,6 +82,7 @@ def test_converted_encoder_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_converted_decoder_full_pipeline_matches_torch(rng):
     """init(2 views) -> update(1 view) -> render(3 views) -> head, torch vs
     converted TPU pipeline, to fp32 tolerance."""
@@ -186,6 +187,7 @@ def test_export_state_dict_keys_match_reference_layout():
     assert dec_sd["head_dec.proj.weight"].shape == (P * P * 7, D_DEC)
 
 
+@pytest.mark.slow
 def test_causal_refine_video_paths_match_torch(rng):
     """The other forward paths vs the twin (VERDICT r2 item 5): causal
     training blocks, a refinement pass, and a video evict+relabel

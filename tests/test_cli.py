@@ -24,6 +24,7 @@ def test_build_dataset_algebra():
     assert len(ds2) == 6
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path):
     out = str(tmp_path / "run")
     args = ["--preset", "tiny", "--dataset", DATASET,

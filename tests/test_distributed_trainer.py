@@ -160,6 +160,7 @@ def _run_multi(out_dir, epochs):
 
 
 @pytest.mark.timeout(1200)
+@pytest.mark.slow
 def test_multi_process_trainer_matches_single_and_resumes(tmp_path):
     import json
 

@@ -303,6 +303,7 @@ def test_schedule_random_blocks_pow2():
     assert len(sizes) > 1            # actually randomized
 
 
+@pytest.mark.slow
 def test_forward_no_render_loss(rng):
     """disable_render: n_render=0 computes the loss over first-pass views
     only and still trains."""
