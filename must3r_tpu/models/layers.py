@@ -171,7 +171,8 @@ def cross_attn(p, x, kv_packed, labels, q_self=None, q_upper=None,
                                                keepdims=False)
         o = sharded_memory_cross_attention(mesh, q, kvl, labels,
                                            q_self=q_self, q_upper=q_upper,
-                                           axis=sp_axis)
+                                           axis=sp_axis, impl=impl,
+                                           kv_len=kv_len)
     else:
         o = memory_cross_attention(q, kv_packed, labels, q_self=q_self,
                                    q_upper=q_upper, kv_len=kv_len,

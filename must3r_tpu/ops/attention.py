@@ -439,13 +439,18 @@ _ca_hybrid_ext.defvjp(_ca_hybrid_ext_fwd, _ca_hybrid_ext_bwd)
 
 
 def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
-                chunk: int = 1024):
+                chunk: int = 1024, return_stats: bool = False):
     """Differentiable online-softmax cross-attention (XLA scan over S).
 
     MXU dots run in the INPUT dtype with fp32 accumulation: bf16 training
     inputs get full-rate bf16 passes (forward and, through the VJP, the
     gradient matmuls) while fp32 parity runs stay fp32. Softmax statistics
-    (m, l, exp) are always fp32."""
+    (m, l, exp) are always fp32.
+
+    return_stats: also return the per-row log-sum-exp [B, G, N, H, 1] for
+    cross-shard softmax merges (parallel/sharded_attention). In this mode
+    fully-masked rows are safe: out = 0, lse = -1e30 sentinel (an empty
+    memory shard must not NaN the combine)."""
     b, g, n, h, dh = q.shape
     s_cap = k.shape[2]
     wd = _dot_dtype(q.dtype)
@@ -485,8 +490,15 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
             allow = allow & (~ext)
         s = jnp.where(allow[:, :, None, None, :], s, _NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
+        if return_stats:
+            # clamp so an all-masked row (m stays -inf) yields p = 0 and
+            # corr = exp(0) instead of exp(-inf - (-inf)) = NaN
+            mc = jnp.maximum(m_new, -1e30)
+            p = jnp.exp(s - mc)
+            corr = jnp.exp(jnp.maximum(m, -1e30) - mc)
+        else:
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * corr + jnp.einsum("bghnc,bhcd->bghnd",
                                       p.astype(qf.dtype),
@@ -494,12 +506,21 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
                                       preferred_element_type=jnp.float32)
         return (m_new, l, acc), None
 
-    m0 = jnp.full((b, g, h, n, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((b, g, h, n, 1), jnp.float32)
-    acc0 = jnp.zeros((b, g, h, n, dh), jnp.float32)
+    # init carries derived from qf (not fresh constants) so that under
+    # shard_map they inherit qf's varying-axes type and the scan carry
+    # type-checks; XLA folds the zero-multiplies away
+    zero_row = jnp.zeros_like(qf[..., :1], dtype=jnp.float32)
+    m0 = zero_row + _NEG_INF
+    l0 = zero_row
+    acc0 = jnp.zeros_like(qf, dtype=jnp.float32)
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), xs)
-    out = acc / jnp.maximum(l, 1e-30)
-    return out.transpose(0, 1, 3, 2, 4).astype(q.dtype)
+    out = (acc / jnp.maximum(l, 1e-30)).transpose(0, 1, 3, 2, 4).astype(
+        q.dtype)
+    if return_stats:
+        lse = (jnp.maximum(m, -1e30)
+               + jnp.log(jnp.maximum(l, 1e-30)))           # B,G,H,N,1
+        return out, lse.transpose(0, 1, 3, 2, 4)           # B,G,N,H,1
+    return out
 
 
 def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,

@@ -55,30 +55,81 @@ def _partial_flash(q, kv, labels, q_self, q_upper):
 
 
 def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
-                                   q_upper=None, axis: str = "sp"):
+                                   q_upper=None, axis: str = "sp",
+                                   impl=None, kv_len=None):
     """Label-masked CA against a memory sharded over `axis` along S.
+
+    Each shard runs the SAME blockwise flash pass as the unsharded path
+    (Pallas kernel on TPU, chunked XLA scan elsewhere) returning its local
+    (out_i, lse_i); the merge is a softmax over shard lse values:
+
+        out = sum_i out_i * exp(lse_i - m) / sum_i exp(lse_i - m),
+        m = pmax_i lse_i
+
+    -- the online-softmax identity, so the result is bit-comparable to
+    unsharded attention up to float addition order. (The round-3 version
+    computed a DENSE fp32 score tensor per shard; scripts/attr_sp2.py
+    attributed ~97% of the 1.5x sp=2 serving overhead to exactly that
+    per-shard compute -- the psum combine itself is ~1.4%.)
 
     Args:
       q: [B, G, N, H, Dh] replicated queries.
       kv: [B, H, S, 2*Dh] -- S sharded over `axis` on the mesh.
       labels: [B, S] -- sharded like kv (evicted slots = -1 keep masking
-        correct on every shard).
+        correct on every shard; an entirely-empty shard is safe).
+      impl: 'pallas' | 'chunked' | None (backend default).
+      kv_len: optional scalar global fill level; the Pallas path uses it
+        to bound each shard's KV loop at its local fill.
     Returns [B, G, N, H, Dh] replicated.
     """
-    b, g = q.shape[:2]
+    from must3r_tpu.ops.attention import _ca_chunked, _ca_pallas, \
+        _default_impl
+
+    b, g, n, h, dh = q.shape
+    s_loc = kv.shape[2] // mesh.shape[axis]
     if q_self is None:
         q_self = jnp.full((b, g), -2, jnp.int32)
     if q_upper is None:
         q_upper = jnp.full((b, g), INT32_MAX, jnp.int32)
+    use = impl or _default_impl(dh)
 
     def local(qv, kvv, lab, qs, qu):
-        m, l, acc = _partial_flash(qv, kvv, lab, qs, qu)
-        gm = jax.lax.pmax(m, axis)
-        corr = jnp.exp(m - gm)
-        gl = jax.lax.psum(l * corr, axis)
-        gacc = jax.lax.psum(acc * corr, axis)
-        out = gacc / jnp.maximum(gl, 1e-30)
-        return out.transpose(0, 1, 3, 2, 4).astype(qv.dtype)
+        # replicated operands enter the shard body as 'unvarying' over the
+        # sp axis; mark them varying so scan carries inside the flash pass
+        # type-check (lax.pcast is a no-op in the compiled program)
+        qv, qs, qu = (jax.lax.pcast(x, axis, to="varying")
+                      for x in (qv, qs, qu))
+        if use == "pallas":
+            # bound the KV loop at this shard's fill level; a shard past
+            # the global fill runs zero blocks -> kernel would NaN on the
+            # forced first block, so gate on fill > 0
+            if kv_len is None:
+                fill = jnp.int32(s_loc)
+            else:
+                start = jax.lax.axis_index(axis).astype(jnp.int32) * s_loc
+                fill = jnp.clip(jnp.int32(kv_len) - start, 0, s_loc)
+
+            def run(_):
+                out, lse = _ca_pallas(qv, kvv[None], lab, qs, qu,
+                                      jnp.maximum(fill, 1), jnp.int32(0),
+                                      return_stats=True)
+                lse = lse[:, :, :, :n, :].transpose(0, 1, 3, 2, 4)
+                return out, lse
+
+            def empty(_):
+                return (jnp.zeros((b, g, n, h, dh), qv.dtype),
+                        jnp.full((b, g, n, h, 1), -1e30, jnp.float32))
+
+            out_i, lse_i = jax.lax.cond(fill > 0, run, empty, None)
+        else:
+            k, v = jnp.split(kvv, 2, axis=-1)
+            out_i, lse_i = _ca_chunked(qv, k, v, lab, qs, qu,
+                                       return_stats=True)
+        gm = jnp.maximum(jax.lax.pmax(lse_i, axis), -1e30)
+        w = jnp.exp(lse_i - gm)                        # [B,G,N,H,1]
+        den = jax.lax.psum(w, axis)
+        num = jax.lax.psum(out_i.astype(jnp.float32) * w, axis)
+        return (num / jnp.maximum(den, 1e-30)).astype(qv.dtype)
 
     return jax.shard_map(
         local, mesh=mesh,

@@ -41,6 +41,31 @@ def synth_frames(n, h, w, seed=0):
     return out
 
 
+def synth_scene_frames(n, h, w, seed=0, orbits=1.25):
+    """3D-coherent video: render a SyntheticScenes plane scene along a
+    smooth orbit. The moving-texture stream above has no parallax, so a
+    trained net's overlap gate is vacuous on it; this one has real
+    geometry and revisits viewpoints, so the gate must actually reject."""
+    from must3r_tpu.datasets.synthetic import SyntheticScenes, _look_at
+
+    ds = SyntheticScenes(n_planes=6)
+    scene = ds._scene(seed)
+    focal = 0.9 * w
+    k = np.asarray([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]],
+                   np.float32)
+    out = np.empty((n, h, w, 3), np.uint8)
+    poses = np.empty((n, 4, 4), np.float32)
+    for i in range(n):
+        ang = 2 * np.pi * orbits * i / n
+        eye = np.asarray([4.0 * np.sin(ang), 0.5 * np.sin(2 * ang),
+                          -4.0 * np.cos(ang)], np.float32)
+        c2w = _look_at(eye, (0.0, 0.0, 0.0))
+        img, _ = ds._render(scene, c2w, k, (h, w))
+        out[i] = img
+        poses[i] = c2w
+    return out, poses
+
+
 def _configs(tiny: bool):
     if tiny:
         # CPU-runnable towers: the soak then exercises the HOST pipeline
@@ -58,25 +83,50 @@ def _configs(tiny: bool):
     return must3r_512_configs()
 
 
-def soak_slam(frames, tiny=False):
+def _load_weights(path, res):
+    """Trained params + configs from a native checkpoint, with the
+    reference's resolution-transfer rewrite (adaptive RoPE) when the soak
+    resolution differs from the training one (set_image_size; reference
+    model/__init__.py:66-108)."""
+    from must3r_tpu.checkpoint import load_checkpoint
+    from must3r_tpu.config import set_image_size
+
+    params, enc_cfg, dec_cfg, _, _ = load_checkpoint(path)
+    if max(enc_cfg.img_size) != res:
+        enc_cfg = set_image_size(enc_cfg, res)
+        dec_cfg = set_image_size(dec_cfg, res)
+    return params, enc_cfg, dec_cfg
+
+
+def soak_slam(frames, tiny=False, weights=None, kv_quant=None, res=None,
+              max_keyframes=128, capture_traj=False, slam_kw=None):
     from must3r_tpu.models import init_decoder, init_encoder
     from must3r_tpu.slam.model import Must3rSLAM, SlamConfig
 
-    enc_cfg, dec_cfg = _configs(tiny)
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    params = {"encoder": init_encoder(k1, enc_cfg),
-              "decoder": init_decoder(k2, dec_cfg)}
-    # tiny mode: random weights never trip the keyframe rule, so force
-    # (overlap thr 0 / conf thr 0) -- the soak must GROW the memory to
-    # max_keyframes and exercise the capacity/eviction path
-    cfg = SlamConfig(res=64, max_keyframes=128,
-                     keyframe_overlap_thr=-1.0, min_conf_keyframe=0.0) \
-        if tiny else SlamConfig(res=512, max_keyframes=128)
+    if weights is not None:
+        params, enc_cfg, dec_cfg = _load_weights(weights, res or 224)
+        cfg = SlamConfig(res=res or 224, max_keyframes=max_keyframes,
+                         kv_quant=kv_quant, **(slam_kw or {}))
+    else:
+        enc_cfg, dec_cfg = _configs(tiny)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        params = {"encoder": init_encoder(k1, enc_cfg),
+                  "decoder": init_decoder(k2, dec_cfg)}
+        # tiny/random mode: random weights never trip the keyframe rule,
+        # so force (overlap thr 0 / conf thr 0) -- the soak must GROW the
+        # memory to max_keyframes and exercise the capacity/eviction path
+        cfg = SlamConfig(res=64, max_keyframes=max_keyframes,
+                         keyframe_overlap_thr=-1.0, min_conf_keyframe=0.0,
+                         kv_quant=kv_quant) \
+            if tiny else SlamConfig(res=res or 512,
+                                    max_keyframes=max_keyframes,
+                                    kv_quant=kv_quant, **(slam_kw or {}))
     slam = Must3rSLAM(params, enc_cfg, dec_cfg, cfg,
                       dtype=jnp.float32 if tiny else jnp.bfloat16)
 
     n = len(frames)
     windows = []
+    kf_trace = []
     t0 = time.perf_counter()
     t_win = t0
     for i, frame in enumerate(frames):
@@ -84,19 +134,45 @@ def soak_slam(frames, tiny=False):
         if (i + 1) % 100 == 0:
             now = time.perf_counter()
             windows.append(round(100.0 / (now - t_win), 2))
+            kf_trace.append(len(slam.keyframes))
             t_win = now
             print(f"  frame {i + 1}/{n}: window fps={windows[-1]}, "
                   f"keyframes={len(slam.keyframes)}", flush=True)
     total = time.perf_counter() - t0
-    return {
+    # drift: steady-state only -- window 0 contains every first-shape
+    # compile, so including it made the metric read compile time, not
+    # memory-growth slowdown (the r3 artifact's -881% was exactly that)
+    steady = windows[1:] if len(windows) >= 3 else windows
+    out = {
         "frames": n,
         "fps_windows": windows,
         "fps_mean": round(n / total, 2),
-        "fps_drift_pct": round(100.0 * (windows[0] - windows[-1])
-                               / max(windows[0], 1e-9), 1)
-        if len(windows) >= 2 else 0.0,
+        "fps_steady_mean": round(sum(steady) / max(len(steady), 1), 2),
+        "fps_drift_pct": round(100.0 * (steady[0] - steady[-1])
+                               / max(steady[0], 1e-9), 1)
+        if len(steady) >= 2 else 0.0,
         "keyframes": len(slam.keyframes),
+        "keyframes_per_window": kf_trace,
+        "keyframe_ratio": round(len(slam.keyframes) / n, 3),
+        "kv_quant": kv_quant,
     }
+    if capture_traj:
+        out["_trajectory"] = np.stack(slam.all_poses)
+    return out
+
+
+def _traj_delta(pa, pb):
+    """Max rotation (deg) / translation deltas between two trajectories."""
+    ra = pa[:, :3, :3]
+    rb = pb[:, :3, :3]
+    rel = np.einsum("nij,nkj->nik", ra, rb)          # ra @ rb^T
+    cos = np.clip((np.trace(rel, axis1=1, axis2=2) - 1) / 2, -1, 1)
+    rot_deg = np.degrees(np.arccos(cos))
+    t = np.linalg.norm(pa[:, :3, 3] - pb[:, :3, 3], axis=-1)
+    scale = max(float(np.linalg.norm(pb[:, :3, 3], axis=-1).mean()), 1e-9)
+    return {"rot_deg_max": round(float(rot_deg.max()), 3),
+            "t_abs_max": round(float(t.max()), 4),
+            "t_rel_max": round(float(t.max() / scale), 4)}
 
 
 def soak_video(n_frames=120, tiny=False):
@@ -161,6 +237,17 @@ def main():
     ap.add_argument("--skip_video", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU-runnable towers (host-pipeline soak)")
+    ap.add_argument("--weights", default=None,
+                    help="native checkpoint (trained demo) -- the keyframe "
+                    "gate then runs for real instead of forced-open")
+    ap.add_argument("--res", type=int, default=None,
+                    help="SLAM resolution (adaptive-RoPE transfer when it "
+                    "differs from the checkpoint's training size)")
+    ap.add_argument("--max_keyframes", type=int, default=128)
+    ap.add_argument("--quant_parity", action="store_true",
+                    help="run bf16 + int8 caches on the same stream and "
+                    "report trajectory deltas")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     report = {}
@@ -170,14 +257,36 @@ def main():
         print(json.dumps(report["video"], indent=2), flush=True)
     if not args.skip_slam:
         print(f"slam soak ({args.frames} frames)...", flush=True)
-        frames = synth_frames(args.frames, *((48, 64) if args.tiny else (384, 512)))
-        report["slam"] = soak_slam(frames, args.tiny)
-        print(json.dumps(report["slam"], indent=2), flush=True)
+        if args.weights is not None:
+            res = args.res or 224
+            hw = (res * 3 // 4, res) if res >= 384 else (res, res)
+            frames, _ = synth_scene_frames(args.frames, *hw)
+        else:
+            hw = (48, 64) if args.tiny else (384, 512)
+            frames = synth_frames(args.frames, *hw)
+        runs = [None, "int8"] if args.quant_parity else [None]
+        trajs = {}
+        for kvq in runs:
+            tag = kvq or "bf16"
+            r = soak_slam(frames, args.tiny, weights=args.weights,
+                          kv_quant=kvq, res=args.res,
+                          max_keyframes=args.max_keyframes,
+                          capture_traj=args.quant_parity)
+            trajs[tag] = r.pop("_trajectory", None)
+            report["slam" if kvq is None else f"slam_{tag}"] = r
+            print(json.dumps(r, indent=2), flush=True)
+        if args.quant_parity and trajs.get("bf16") is not None:
+            report["quant_traj_parity"] = _traj_delta(trajs["int8"],
+                                                      trajs["bf16"])
+            print(json.dumps(report["quant_traj_parity"], indent=2),
+                  flush=True)
 
     os.makedirs("docs", exist_ok=True)
-    with open("docs/SOAK_VO_TINY.json" if args.tiny else "docs/SOAK_VO.json", "w") as f:
+    out = args.out or ("docs/SOAK_VO_TINY.json" if args.tiny
+                       else "docs/SOAK_VO.json")
+    with open(out, "w") as f:
         json.dump(report, f, indent=2)
-    print('wrote soak report')
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
