@@ -43,4 +43,18 @@ for b in 1 2 4; do
   timeout 2400 python scripts/profile_train.py --batch "$b" 2>&1 | tail -8
 done | tee "$OUT/train_batch.txt"
 
+echo "== 224 2-view spread (3 driver-style invocations) =="
+# VERDICT r4 item 1: the official record needs spread <10% across
+# driver-style runs; each invocation is a fresh process like the driver's
+for i in 1 2 3; do
+  timeout 1800 python bench.py two_view_224 2>>"$OUT/bench_spread.err"
+done | tee "$OUT/bench_spread.jsonl"
+
+echo "== train-step per-op trace =="
+# VERDICT r4 item 2 evidence: the per-op floor behind the it/s number
+timeout 2400 python scripts/profile_train.py --trace /tmp/tr_train 2>&1 | tail -6
+python scripts/trace_summary.py /tmp/tr_train --top 40 \
+  > "$OUT/train_trace.txt" 2>&1 || tail -3 "$OUT/train_trace.txt"
+tail -12 "$OUT/train_trace.txt"
+
 echo "roundup complete: $OUT"

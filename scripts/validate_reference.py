@@ -379,17 +379,91 @@ def _bf16_vs_fp32_rows(params, enc_cfg, dec_cfg, res, tag="",
             for k in pms}
 
 
-def _synthetic_views(res):
+def _synthetic_views(res, full=False):
     """In-distribution images for trained-weights anchors: a trained net
     fed pure noise predicts a degenerate (near-zero) focal, making
-    focal_rel_err ill-conditioned all over again."""
+    focal_rel_err ill-conditioned all over again.
+
+    full=True also returns the GT side: per-view focal (pixels, from the
+    bucket-rescaled intrinsics), camera-frame GT pointmaps, and validity
+    masks -- the inputs for the predicted-vs-GT focal anchor."""
     from must3r_tpu.datasets import SyntheticScenes
 
     h, w = _shapes(res)
     ds = SyntheticScenes(num_views=N_VIEWS, resolutions=((w, h),),
                          epoch_size=4, render_hw=(h, w), seed=3)
     views = ds[(0, 0, N_VIEWS)]
-    return np.stack([v["img"] for v in views]).astype(np.float32)
+    imgs = np.stack([v["img"] for v in views]).astype(np.float32)
+    if not full:
+        return imgs
+    pts_cam = []
+    for v in views:
+        w2c = np.linalg.inv(v["camera_pose"].astype(np.float64))
+        pw = v["pts3d"].reshape(-1, 3).astype(np.float64)
+        pc = pw @ w2c[:3, :3].T + w2c[:3, 3]
+        pts_cam.append(pc.reshape(v["pts3d"].shape).astype(np.float32))
+    gt = {
+        "focal": np.asarray([v["camera_intrinsics"][0, 0] for v in views],
+                            np.float32),
+        "pts3d_cam": np.stack(pts_cam),
+        "valid": np.stack([v["valid_mask"] for v in views]),
+    }
+    return imgs, gt
+
+
+def validate_focal_gt(path, res):
+    """Predicted-vs-GT focal on trained weights (VERDICT r3 next #3).
+
+    The synthetic GT has known intrinsics, so this measures the PRODUCTION
+    focal path -- raw head -> norm-exp -> Weiszfeld IRLS
+    (`engine/inference.py::postprocess`, parity target reference
+    `must3r/engine/inference.py:28-46`) -- against the true focal, per
+    inference path. The same recovery run on the GT camera-frame pointmaps
+    gives the protocol floor (Weiszfeld + principal-point-at-center bias,
+    independent of the net): the net's focal error should be read against
+    that floor, not against zero."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from must3r_tpu.checkpoint import load_checkpoint
+    from must3r_tpu.engine.inference import postprocess
+    from must3r_tpu.ops.pose import estimate_focal_weiszfeld
+
+    params, enc_cfg, dec_cfg, _, _ = load_checkpoint(path)
+    dec_cfg = dec_cfg.inference_variant()
+    h, w = _shapes(res)
+    enc_cfg = dataclasses.replace(enc_cfg, img_size=(h, w))
+    dec_cfg = dataclasses.replace(dec_cfg, img_size=(h, w))
+    imgs, gt = _synthetic_views(res, full=True)
+
+    # protocol floor: Weiszfeld on the GT camera-frame points (sky/invalid
+    # zeroed out -- z=0 rows drop out of the IRLS the same way the net's
+    # own sky predictions do)
+    pts_gt = np.where(gt["valid"][..., None], gt["pts3d_cam"], 0.0)
+    f_oracle = np.asarray(estimate_focal_weiszfeld(jnp.asarray(pts_gt)))
+
+    rows = {}
+    for dtype_name in ("float32", "bfloat16"):
+        _, pms = run_ours(params, enc_cfg, dec_cfg, res, dtype_name,
+                          imgs_np=imgs)
+        for k, pm in pms.items():
+            po = postprocess(jnp.asarray(pm, jnp.float32), compute_cam=True)
+            f_pred = np.asarray(po["focal"])
+            f_gt = gt["focal"][: f_pred.shape[0]]
+            f_orc = f_oracle[: f_pred.shape[0]]
+            rows[f"{dtype_name} {k}"] = {
+                "focal_gt_px": float(f_gt.mean()),
+                "focal_pred_px": float(f_pred.mean()),
+                "focal_vs_gt_rel": float(
+                    np.mean(np.abs(f_pred - f_gt) / f_gt)),
+                "focal_oracle_px": float(f_orc.mean()),
+                "focal_oracle_rel": float(
+                    np.mean(np.abs(f_orc - f_gt) / f_gt)),
+                "focal_vs_oracle_rel": float(
+                    np.mean(np.abs(f_pred - f_orc) / f_orc)),
+            }
+    return rows
 
 
 def validate_checkpoint(ckpt, res):
@@ -427,6 +501,9 @@ def write_report(results, out_path, append=False):
             cols = ["raw_head_rmse", "pts3d_rmse", "pts3d_local_rmse",
                     "pts3d_scale", "conf_mae", "focal_rel_err",
                     "focal_gold_mean", "pose_rot_deg_max", "pose_t_max"]
+            first = next(iter(rows.values()))
+            if not any(c in first for c in cols):     # focal-vs-GT tables
+                cols = list(first)
             lines.append("| path | " + " | ".join(cols) + " |")
             lines.append("|---|" + "---|" * len(cols))
             for name, m in rows.items():
@@ -489,6 +566,9 @@ def main():
     ap.add_argument("--native_ckpt", default=None,
                     help="native checkpoint dir (trained weights) for a"
                          " well-conditioned bf16-vs-fp32 anchor")
+    ap.add_argument("--focal_gt", action="store_true",
+                    help="with --native_ckpt: predicted-vs-GT focal anchor"
+                         " (synthetic GT intrinsics + Weiszfeld floor)")
     ap.add_argument("--res", nargs="+", default=["224", "512"])
     ap.add_argument("--regen", action="store_true",
                     help="regenerate the torch-twin fixtures")
@@ -499,7 +579,11 @@ def main():
 
     results = {}
     for res in args.res:
-        if args.native_ckpt:
+        if args.native_ckpt and args.focal_gt:
+            results[f"focal vs GT @{res} (trained ckpt, synthetic"
+                    f" intrinsics)"] = validate_focal_gt(args.native_ckpt,
+                                                         res)
+        elif args.native_ckpt:
             results[f"native trained checkpoint @{res}"] = \
                 validate_native_checkpoint(args.native_ckpt, res)
         elif args.ckpt and os.path.exists(args.ckpt):
