@@ -309,9 +309,10 @@ def bench_train_step():
 
 
 _SP2_WORKER = r"""
-import json, time
+import json, os, time
 import jax
 jax.config.update("jax_platforms", "cpu")
+SP_N = int(os.environ.get("SP_N", "2"))
 import jax.numpy as jnp
 import numpy as np
 
@@ -354,11 +355,11 @@ def run(core, iters=4):
 core1 = InferenceCore(enc_p, dec_p, enc_cfg, dec_cfg, dtype=jnp.float32,
                       impl="chunked")
 t1 = run(core1)
-mesh = make_mesh(2, mp=2, axis_names=("dp", "sp"))
+mesh = make_mesh(SP_N, mp=SP_N, axis_names=("dp", "sp"))
 core2 = InferenceCore(enc_p, dec_p, enc_cfg, dec_cfg, dtype=jnp.float32,
                       impl="chunked", mesh=mesh)
 t2 = run(core2)
-print(json.dumps({"unsharded_ms": t1 * 1e3, "sp2_ms": t2 * 1e3,
+print(json.dumps({"unsharded_ms": t1 * 1e3, "sharded_ms": t2 * 1e3,
                   "overhead_x": t2 / t1}))
 """
 
@@ -368,15 +369,18 @@ def bench_sharded_sp2():
     memory sharded over a 2-way 'sp' mesh vs unsharded, on a virtual CPU
     mesh (one real chip here; the sharded path's win is HBM capacity --
     collections larger than one chip -- not single-host speed). Reported
-    value = sharded/unsharded wall ratio; < ~1.6 means the blockwise
-    combine + cross-shard append cost stays moderate."""
+    value = sharded/unsharded wall ratio; the blockwise-flash-per-shard +
+    LSE merge keeps it near 1x (attribution: scripts/attr_sp2.py). Set
+    SP_N=4 for the 4-way scaling point."""
     import subprocess
     import sys as _sys
 
+    sp_n = int(os.environ.get("SP_N", "2"))
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
-    env.update({"JAX_PLATFORMS": "cpu",
-                "XLA_FLAGS": "--xla_force_host_platform_device_count=2"})
+    env.update({"JAX_PLATFORMS": "cpu", "SP_N": str(sp_n),
+                "XLA_FLAGS":
+                    f"--xla_force_host_platform_device_count={sp_n}"})
     out = subprocess.run([_sys.executable, "-c", _SP2_WORKER],
                          cwd=os.path.dirname(os.path.abspath(__file__)),
                          env=env, capture_output=True, text=True,

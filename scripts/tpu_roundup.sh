@@ -57,4 +57,42 @@ python scripts/trace_summary.py /tmp/tr_train --top 40 \
   > "$OUT/train_trace.txt" 2>&1 || tail -3 "$OUT/train_trace.txt"
 tail -12 "$OUT/train_trace.txt"
 
+if [ "${2:-}" = "--full" ] || [ "${FULL:-0}" = "1" ]; then
+  CKPT=/tmp/demo_train_224/checkpoint-final
+  echo "== (full) continue 224 demo training to 40 epochs =="
+  # resumes from checkpoint-last in /tmp/demo_train_224; better-conditioned
+  # focal anchors come from a longer-trained net
+  PYTHONPATH=. timeout 7200 python scripts/train_synthetic_demo.py 40 \
+    --preset224 2>&1 | tail -4
+
+  echo "== (full) focal-vs-GT + trained anchors (re-gen) =="
+  python - <<'PYEOF'
+import re
+txt = open("PARITY_NUMBERS.md").read()
+pat = re.compile(r"\n<!-- appended by validate_reference\.py -->\n\n## (native trained checkpoint|focal vs GT) @224.*?(?=\n<!-- appended|\Z)", re.S)
+new, n = pat.subn("", txt)
+print("dropped stale appended sections:", n)
+open("PARITY_NUMBERS.md", "w").write(new)
+PYEOF
+  timeout 3600 python scripts/validate_reference.py --native_ckpt "$CKPT" \
+    --res 224 2>&1 | tail -3
+  timeout 3600 python scripts/validate_reference.py --native_ckpt "$CKPT" \
+    --focal_gt --res 224 2>&1 | tail -3
+
+  echo "== (full) flagship-512 VO soak (500 frames, quant parity) =="
+  timeout 10800 python scripts/soak_vo.py --frames 500 --weights "$CKPT" \
+    --res 512 --quant_parity --skip_video \
+    --out docs/SOAK_VO_512.json 2>&1 | tail -12
+
+  echo "== (full) quantized-cache capacity churn =="
+  timeout 7200 python scripts/quant_accuracy.py --capacity --frames 220 \
+    --ckpt "$CKPT" --out docs/QUANT_CAPACITY.json 2>&1 | tail -6
+
+  echo "== (full) 7scenes-sized synthetic recon-eval dry-run =="
+  timeout 7200 python eval.py --chkpt "$CKPT" --preset 224 \
+    --dataset "SyntheticScenes(num_views=10, epoch_size=20, resolutions=((224,224),), render_hw=(224,224), seed=11)" \
+    --num_views 4 10 --recon_eval --pose_eval \
+    --output docs/EVAL_DRYRUN.json 2>&1 | tail -4
+fi
+
 echo "roundup complete: $OUT"
