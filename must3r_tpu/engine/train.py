@@ -94,8 +94,8 @@ def make_forward(enc_cfg: EncoderConfig, dec_cfg: DecoderConfig,
     ordered first-pass-then-rendered like the reference's `concat_preds`.
     """
     # attention is differentiable on every path: impl='pallas' runs the
-    # TPU kernels forward with an XLA-recompute backward (custom VJP);
-    # with token dropout the CA falls back to the XLA path automatically
+    # TPU kernels forward with flash-backward kernels (custom VJP); token
+    # dropout rides the kernels too (extra_mask -> _ca_hybrid_ext)
     dtype = jnp.dtype(ts.dtype)
     n_mem = sum(ts.mem_batches)
     n_skip = sum(ts.mem_batches[:ts.train_decoder_skip])

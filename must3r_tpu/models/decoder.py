@@ -191,14 +191,27 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
     kv_len = start + t_new
 
     # labels for the new tokens, appended up-front so the in-step attention
-    # sees them (reference concatenates old+new memory per layer)
+    # sees them (reference concatenates old+new memory per layer). Under an
+    # 'sp' mesh the new tokens+labels are NOT written into the sharded
+    # buffers mid-step at all: they ride the CA as a replicated second
+    # source (extra_kv) and are committed once at the end with an O(t)
+    # windowed write -- a dynamic-start update on the sharded token axis
+    # would make GSPMD rewrite every shard's full buffer per layer
+    # (scripts/attr_sp2.py).
     gidx = jnp.arange(g, dtype=jnp.int32)
     new_labels = jnp.broadcast_to(
         (mem.n_imgs.astype(jnp.int32) + gidx)[:, None], (g, n)).reshape(-1)
     new_labels = jnp.broadcast_to(new_labels[None], (b, t_new))
-    labels = jax.vmap(
-        lambda lab, nl: jax.lax.dynamic_update_slice(lab, nl, (start,)))(
-        mem.labels, new_labels)
+    if mesh is None:
+        labels = jax.vmap(
+            lambda lab, nl: jax.lax.dynamic_update_slice(lab, nl, (start,)))(
+            mem.labels, new_labels)
+        ca_kv_len = kv_len
+        extra_labels = None
+    else:
+        labels = mem.labels          # old tokens only; bound by ca_kv_len
+        ca_kv_len = start
+        extra_labels = new_labels
 
     q_self, q_upper = _update_masks(cfg, mem.n_imgs, g, causal)
     q_self = jnp.broadcast_to(q_self[None], (b, g))
@@ -255,13 +268,21 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
             blk, kv_l, scale_l, li = inp
             raw = x.reshape(b, t_new, cfg.embed_dim)
             new_kv = prepare_kv(blk, raw, cfg.num_heads, cfg.ln_eps)
-            kv_att, scale_att, new_q, new_s = _write_step_kv(
-                kv_l, scale_l, new_kv, start)
+            if mesh is None:
+                kv_att, scale_att, new_q, new_s = _write_step_kv(
+                    kv_l, scale_l, new_kv, start)
+                extra = None
+            else:
+                # sharded: attend new tokens as a replicated side source
+                kv_att, scale_att = kv_l, scale_l
+                new_q, new_s = new_kv.astype(kv_l.dtype), None
+                extra = new_kv
             x = decoder_block(blk, x, kv_att, rope, labels, q_self=q_self,
-                              q_upper=q_upper, kv_len=kv_len,
+                              q_upper=q_upper, kv_len=ca_kv_len,
                               extra_mask=extra_mask, layer=None,
                               num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
-                              impl=impl, mesh=mesh, kv_scale=scale_att)
+                              impl=impl, mesh=mesh, kv_scale=scale_att,
+                              extra_kv=extra, extra_labels=extra_labels)
             return x, (raw, new_q, new_s)
 
         if remat:
@@ -278,26 +299,41 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
         kv_buf = mem.kv
         scale_buf = mem.kv_scale
         raws_l = []
+        new_kvs_l = []
         for li in range(depth):
             blk = _block_slice(params["blocks"], li)
             raw = x.reshape(b, t_new, cfg.embed_dim)
             new_kv = prepare_kv(blk, raw, cfg.num_heads, cfg.ln_eps)
-            if quantized:
+            extra = None
+            if mesh is not None:
+                # sharded: never write mid-step; new tokens ride the CA as
+                # a replicated side source and commit once after the loop
+                extra = new_kv
+                new_kvs_l.append(new_kv.astype(kv_buf.dtype))
+            elif quantized:
                 new_q, new_s = quantize_kv(new_kv, kv_buf.dtype)
                 scale_buf = jax.lax.dynamic_update_slice(
                     scale_buf, new_s[None], (li, 0, 0, 0, start))
+                kv_buf = jax.lax.dynamic_update_slice(
+                    kv_buf, new_q[None], (li, 0, 0, start, 0))
             else:
                 new_q = new_kv.astype(kv_buf.dtype)
-            kv_buf = jax.lax.dynamic_update_slice(
-                kv_buf, new_q[None], (li, 0, 0, start, 0))
+                kv_buf = jax.lax.dynamic_update_slice(
+                    kv_buf, new_q[None], (li, 0, 0, start, 0))
             x = decoder_block(blk, x, kv_buf, rope, labels, q_self=q_self,
-                              q_upper=q_upper, kv_len=kv_len,
+                              q_upper=q_upper, kv_len=ca_kv_len,
                               extra_mask=extra_mask, layer=jnp.int32(li),
                               num_heads=cfg.num_heads, ln_eps=cfg.ln_eps,
-                              impl=impl, mesh=mesh, kv_scale=scale_buf)
+                              impl=impl, mesh=mesh, kv_scale=scale_buf,
+                              extra_kv=extra, extra_labels=extra_labels)
             raws_l.append(raw)
         raws = jnp.stack(raws_l)
-        new_kvs = new_ss = None
+        if mesh is not None:
+            new_kvs = jnp.stack(new_kvs_l)
+            kv_buf = None
+        else:
+            new_kvs = None
+        new_ss = None
     else:
         x, (raws, new_kvs, new_ss) = jax.lax.scan(
             body, x, (params["blocks"], mem.kv, mem.kv_scale,
@@ -326,8 +362,18 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
             if quantized:
                 new_ss = jnp.concatenate([new_s, new_ss[-1:]], axis=0)
     if kv_buf is None:
-        kv_buf = jax.lax.dynamic_update_slice(
-            mem.kv, new_kvs.astype(mem.kv.dtype), (0, 0, 0, start, 0))
+        if mesh is not None:
+            from must3r_tpu.parallel.sharded_attention import (
+                sharded_window_write,
+            )
+            kv_buf = sharded_window_write(
+                mesh, mem.kv, new_kvs.astype(mem.kv.dtype), start,
+                token_axis=3)
+            labels = sharded_window_write(mesh, mem.labels, new_labels,
+                                          start, token_axis=1)
+        else:
+            kv_buf = jax.lax.dynamic_update_slice(
+                mem.kv, new_kvs.astype(mem.kv.dtype), (0, 0, 0, start, 0))
     if quantized and scale_buf is None:
         scale_buf = jax.lax.dynamic_update_slice(
             mem.kv_scale, new_ss, (0, 0, 0, 0, start))

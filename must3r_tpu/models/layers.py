@@ -141,7 +141,8 @@ def prepare_kv(p, y, num_heads: int = 12, ln_eps: float = 1e-6):
 def cross_attn(p, x, kv_packed, labels, q_self=None, q_upper=None,
                kv_len=None, extra_mask=None, layer=None, num_heads: int = 12,
                ln_eps: float = 1e-6, impl: Optional[str] = None, mesh=None,
-               sp_axis: str = "sp", kv_scale=None):
+               sp_axis: str = "sp", kv_scale=None, extra_kv=None,
+               extra_labels=None):
     """Memory cross-attention read: q = projq(norm2(x)); flash CA against the
     packed KV cache; out projection.
 
@@ -154,6 +155,9 @@ def cross_attn(p, x, kv_packed, labels, q_self=None, q_upper=None,
       mesh: optional Mesh whose ``sp_axis`` shards the memory token axis;
         routes through the all-gather-free sharded CA (SURVEY §5.7) --
         collections larger than one chip's HBM serve transparently.
+      extra_kv / extra_labels: replicated second KV source merged by the
+        LSE identity (sharded path only): how update steps attend their
+        new tokens without a mid-step cross-shard write.
     Returns: [B, G, N, D].
     """
     b, g, n, d = x.shape
@@ -172,7 +176,8 @@ def cross_attn(p, x, kv_packed, labels, q_self=None, q_upper=None,
         o = sharded_memory_cross_attention(mesh, q, kvl, labels,
                                            q_self=q_self, q_upper=q_upper,
                                            axis=sp_axis, impl=impl,
-                                           kv_len=kv_len)
+                                           kv_len=kv_len, extra_kv=extra_kv,
+                                           extra_labels=extra_labels)
     else:
         o = memory_cross_attention(q, kv_packed, labels, q_self=q_self,
                                    q_upper=q_upper, kv_len=kv_len,
@@ -197,7 +202,8 @@ def encoder_block(p, x, rope, num_heads: int, ln_eps: float = 1e-6,
 def decoder_block(p, x, kv_packed, rope, labels, q_self=None, q_upper=None,
                   kv_len=None, extra_mask=None, layer=None,
                   num_heads: int = 12, ln_eps: float = 1e-6,
-                  impl: Optional[str] = None, mesh=None, kv_scale=None):
+                  impl: Optional[str] = None, mesh=None, kv_scale=None,
+                  extra_kv=None, extra_labels=None):
     """Reference `CachedDecoderBlock`: SA + memory-CA + MLP, pre-norm.
 
     x: [B, G, N, D]. SA is per-image (B*G batched); CA reads the memory
@@ -214,7 +220,9 @@ def decoder_block(p, x, kv_packed, rope, labels, q_self=None, q_upper=None,
                    rope=rope_f, num_heads=num_heads, impl=impl)
     x = x + sa.reshape(b, g, n, d)
     x = x + cross_attn(p, x, kv_packed, labels, q_self=q_self,
-                       q_upper=q_upper, kv_len=kv_len, extra_mask=extra_mask,
+                       q_upper=q_upper, kv_len=kv_len,
+                       extra_kv=extra_kv, extra_labels=extra_labels,
+                       extra_mask=extra_mask,
                        layer=layer, num_heads=num_heads, ln_eps=ln_eps,
                        impl=impl, mesh=mesh, kv_scale=kv_scale)
     x = x + mlp(p["mlp"], layer_norm(p["norm3"], x, ln_eps))

@@ -56,7 +56,8 @@ def _partial_flash(q, kv, labels, q_self, q_upper):
 
 def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
                                    q_upper=None, axis: str = "sp",
-                                   impl=None, kv_len=None):
+                                   impl=None, kv_len=None,
+                                   extra_kv=None, extra_labels=None):
     """Label-masked CA against a memory sharded over `axis` along S.
 
     Each shard runs the SAME blockwise flash pass as the unsharded path
@@ -80,6 +81,15 @@ def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
       impl: 'pallas' | 'chunked' | None (backend default).
       kv_len: optional scalar global fill level; the Pallas path uses it
         to bound each shard's KV loop at its local fill.
+      extra_kv / extra_labels: optional REPLICATED second KV source
+        ([B, H, T, 2*Dh] / [B, T]) attended with the same masks and merged
+        into the sharded result by the log-sum-exp softmax identity. This
+        is how `decoder_update` attends a step's new tokens WITHOUT ever
+        writing them into the sharded buffer mid-step: a dynamic-start
+        `dynamic_update_slice` on the sharded token axis makes GSPMD
+        rewrite every local row (scripts/attr_sp2.py measured it at ~4.5x
+        the unsharded append); attending new tokens as a replicated side
+        source costs one tiny dense pass and zero communication.
     Returns [B, G, N, H, Dh] replicated.
     """
     from must3r_tpu.ops.attention import _ca_chunked, _ca_pallas, \
@@ -129,20 +139,36 @@ def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
         w = jnp.exp(lse_i - gm)                        # [B,G,N,H,1]
         den = jax.lax.psum(w, axis)
         num = jax.lax.psum(out_i.astype(jnp.float32) * w, axis)
-        return (num / jnp.maximum(den, 1e-30)).astype(qv.dtype)
+        out = (num / jnp.maximum(den, 1e-30)).astype(qv.dtype)
+        # replicated merged lse for a second-source combine outside
+        lse = gm + jnp.log(jnp.maximum(den, 1e-30))
+        return out, lse
 
-    return jax.shard_map(
+    out_s, lse_s = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(None, None, axis, None), P(None, axis), P(), P()),
-        out_specs=P(),
+        out_specs=(P(), P()),
     )(q, kv, labels, q_self, q_upper)
+    if extra_kv is None:
+        return out_s
+    from must3r_tpu.ops.attention import _ca_chunked
+    k_e, v_e = jnp.split(extra_kv, 2, axis=-1)
+    out_e, lse_e = _ca_chunked(q, k_e, v_e, extra_labels, q_self, q_upper,
+                               return_stats=True)
+    m = jnp.maximum(jnp.maximum(lse_s, lse_e), -1e30)
+    w_s = jnp.exp(lse_s - m)
+    w_e = jnp.exp(lse_e - m)
+    num = (out_s.astype(jnp.float32) * w_s + out_e.astype(jnp.float32) * w_e)
+    return (num / jnp.maximum(w_s + w_e, 1e-30)).astype(q.dtype)
 
 
 def shard_memory(mesh: Mesh, mem, axis: str = "sp"):
     """Place a MemoryState with its token axis sharded over `axis`.
 
-    The capacity must divide the axis size; append positions stay global
-    (dynamic_update_slice across shards is handled by GSPMD)."""
+    The capacity must divide the axis size; commits of new tokens into the
+    sharded buffer go through :func:`sharded_window_write` (a plain
+    dynamic_update_slice across shards would make GSPMD rewrite every
+    local row)."""
     kv_sharding = NamedSharding(mesh, P(None, None, None, axis, None))
     lab_sharding = NamedSharding(mesh, P(None, axis))
     rep = NamedSharding(mesh, P())
@@ -156,3 +182,48 @@ def shard_memory(mesh: Mesh, mem, axis: str = "sp"):
         n_imgs=jax.device_put(mem.n_imgs, rep),
         protected_imgs=jax.device_put(mem.protected_imgs, rep),
         protected_tokens=jax.device_put(mem.protected_tokens, rep))
+
+
+def sharded_window_write(mesh: Mesh, buf, new, start, token_axis: int,
+                         axis: str = "sp"):
+    """Write `new` (replicated, length T on `token_axis`) into `buf`
+    (sharded over `token_axis` along mesh `axis`) at dynamic global offset
+    `start`, touching only an O(T) window per shard.
+
+    GSPMD lowers a dynamic-start dynamic_update_slice on a sharded axis to
+    a full-buffer rewrite on every shard (scripts/attr_sp2.py: 4.5x the
+    unsharded append at serving shapes). Here each shard slices the one
+    T-row window that can overlap the write range, merges `new` rows in by
+    global position, and writes the window back in place -- no
+    communication, no O(S_loc) traffic. Requires T <= S_loc; windows may
+    straddle shard boundaries or miss a shard entirely (no-op there).
+    """
+    sp = mesh.shape[axis]
+    s_cap = buf.shape[token_axis]
+    t = new.shape[token_axis]
+    s_loc = s_cap // sp
+    assert s_cap % sp == 0 and t <= s_loc, (s_cap, sp, t)
+    spec = P(*[axis if i == token_axis else None for i in range(buf.ndim)])
+    bshape = [1] * buf.ndim
+    bshape[token_axis] = t
+
+    def local(bufl, newl, st):
+        newl, st = (jax.lax.pcast(x, axis, to="varying")
+                    for x in (newl, st))
+        i = jax.lax.axis_index(axis).astype(jnp.int32)
+        s0 = i * s_loc
+        # one T-row window positioned to cover this shard's overlap with
+        # [st, st+t): clamped into local bounds (proof in test)
+        oc = jnp.clip(st - s0, 0, s_loc - t)
+        cur = jax.lax.dynamic_slice_in_dim(bufl, oc, t, axis=token_axis)
+        gpos = s0 + oc + jnp.arange(t, dtype=jnp.int32)
+        sel = ((gpos >= st) & (gpos < st + t)).reshape(bshape)
+        src = jnp.clip(gpos - st, 0, t - 1)
+        rows = jnp.take(newl, src, axis=token_axis).astype(bufl.dtype)
+        merged = jnp.where(sel, rows, cur)
+        return jax.lax.dynamic_update_slice_in_dim(bufl, merged, oc,
+                                                   axis=token_axis)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec, P(), P()),
+                         out_specs=spec)(buf, new,
+                                         jnp.asarray(start, jnp.int32))

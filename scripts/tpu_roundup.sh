@@ -66,14 +66,8 @@ if [ "${2:-}" = "--full" ] || [ "${FULL:-0}" = "1" ]; then
     --preset224 2>&1 | tail -4
 
   echo "== (full) focal-vs-GT + trained anchors (re-gen) =="
-  python - <<'PYEOF'
-import re
-txt = open("PARITY_NUMBERS.md").read()
-pat = re.compile(r"\n<!-- appended by validate_reference\.py -->\n\n## (native trained checkpoint|focal vs GT) @224.*?(?=\n<!-- appended|\Z)", re.S)
-new, n = pat.subn("", txt)
-print("dropped stale appended sections:", n)
-open("PARITY_NUMBERS.md", "w").write(new)
-PYEOF
+  # validate_reference.py replaces its own appended section idempotently
+  # (same-heading strip inside write_report) -- no pre-strip needed here
   timeout 3600 python scripts/validate_reference.py --native_ckpt "$CKPT" \
     --res 224 2>&1 | tail -3
   timeout 3600 python scripts/validate_reference.py --native_ckpt "$CKPT" \

@@ -494,6 +494,23 @@ def validate_native_checkpoint(path, res):
 
 def write_report(results, out_path, append=False):
     if append:
+        # idempotent: drop any previously-appended section with the SAME
+        # heading first, so re-runs replace their own table without
+        # clobbering other appended sections (a partial roundup must not
+        # lose the focal-vs-GT table while regenerating the trained one)
+        import re
+
+        try:
+            txt = open(out_path).read()
+        except FileNotFoundError:
+            txt = ""
+        for key in results:
+            pat = re.compile(
+                r"\n<!-- appended by validate_reference\.py -->\n\n## "
+                + re.escape(key) + r"\n.*?(?=\n<!-- appended|\Z)", re.S)
+            txt = pat.sub("", txt)
+        with open(out_path, "w") as f:
+            f.write(txt)
         lines = ["", "<!-- appended by validate_reference.py -->", ""]
         for key, rows in results.items():
             lines.append(f"## {key}")

@@ -107,3 +107,61 @@ def test_sharded_inference_core_offline_matches_unsharded(rng):
         np.testing.assert_allclose(np.asarray(got[key]),
                                    np.asarray(want[key]), rtol=2e-4,
                                    atol=2e-4)
+
+
+def test_sharded_window_write_matches_dus(mesh, rng):
+    """sharded_window_write == plain dynamic_update_slice for windows that
+    sit inside one shard, straddle shard boundaries, start at 0, and end
+    flush with capacity."""
+    from must3r_tpu.parallel.sharded_attention import sharded_window_write
+
+    s_cap, t = 64, 8          # 8 shards x 8 local rows, window == s_loc
+    buf = jnp.asarray(rng.standard_normal((2, s_cap, 3)), jnp.float32)
+    new = jnp.asarray(rng.standard_normal((2, t, 3)), jnp.float32)
+    sharded = jax.device_put(
+        buf, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(
+            None, "sp", None)))
+    for start in (0, 3, 8, 13, 29, 56):
+        want = jax.lax.dynamic_update_slice(buf, new, (0, start, 0))
+        with mesh:
+            got = sharded_window_write(mesh, sharded, new,
+                                       jnp.int32(start), token_axis=1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # int32 labels layout [B, S]
+    lab = jnp.zeros((1, s_cap), jnp.int32) - 1
+    newlab = jnp.arange(t, dtype=jnp.int32)[None]
+    lab_sh = jax.device_put(lab, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "sp")))
+    for start in (0, 5, 30, 56):
+        want = jax.lax.dynamic_update_slice(lab, newlab, (0, start))
+        with mesh:
+            got = sharded_window_write(mesh, lab_sh, newlab,
+                                       jnp.int32(start), token_axis=1)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_ca_extra_source_matches_concat(mesh, rng):
+    """extra_kv LSE merge == unsharded CA over the concatenated sources."""
+    b, g, n, h, dh, s, t = 1, 2, 8, 2, 16, 64, 16
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((b, h, s, 2 * dh)), jnp.float32)
+    ekv = jnp.asarray(rng.standard_normal((b, h, t, 2 * dh)), jnp.float32)
+    labels = np.full((b, s), -1, np.int32)
+    labels[:, :40] = rng.integers(0, 5, size=(b, 40))
+    labels = jnp.asarray(labels)
+    elabels = jnp.asarray(rng.integers(5, 7, size=(b, t)), jnp.int32)
+    q_self = jnp.asarray([[5, -2]], jnp.int32)
+    q_upper = jnp.asarray([[6, INT32_MAX]], jnp.int32)
+
+    # reference: one unsharded CA over [memory | new] with merged labels
+    kv_cat = jnp.concatenate([kv, ekv], axis=2)
+    lab_cat = jnp.concatenate([labels, elabels], axis=1)
+    want = memory_cross_attention(q, kv_cat, lab_cat, q_self=q_self,
+                                  q_upper=q_upper, impl="chunked")
+    with mesh:
+        got = sharded_memory_cross_attention(
+            mesh, q, kv, labels, q_self, q_upper, extra_kv=ekv,
+            extra_labels=elabels)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
