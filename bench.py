@@ -403,6 +403,26 @@ BENCHES = {
 }
 
 
+def _probe_rtt():
+    """Emit the host<->device dispatch+fetch round-trip as a diagnostic
+    metric line. The chip in this environment sits behind a remote tunnel
+    whose RTT (~26 ms when healthy, minute-to-minute spikes observed to
+    4x that) bounds any latency-sensitive measurement on small configs; a
+    local TPU-VM host would measure ~0. Recording it NEXT TO the numbers
+    makes each capture's environment part of the record (VERDICT r3 next
+    #1). vs_baseline: null (diagnostic, not a throughput metric)."""
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    float(f(x)[0, 0])                       # compile + warm
+    rtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(f(x)[0, 0])                   # one dispatch + one fetch
+        rtts.append(time.perf_counter() - t0)
+    _emit("tunnel_rtt_ms_median", 1e3 * sorted(rtts)[len(rtts) // 2],
+          "ms", None)
+
+
 def main():
     names = sys.argv[1:] or list(BENCHES)
     unknown = [n for n in names if n not in BENCHES]
@@ -410,6 +430,11 @@ def main():
         print(f"unknown bench name(s) {unknown}; valid: {list(BENCHES)}",
               file=sys.stderr)
         sys.exit(2)
+    try:
+        _probe_rtt()
+    except Exception as e:
+        print(f"rtt probe failed: {type(e).__name__}: {e}", file=sys.stderr,
+              flush=True)
     failed = False
     for name in names:
         try:

@@ -86,7 +86,6 @@ def main():
     opt_state = opt.init(trainable_subset(params, ts))
     # production path: Trainer holds the frozen tower in the compute dtype
     params = cast_frozen_params(params, ts)
-    step = make_train_step(enc_cfg, dec_cfg, ts, opt, donate=False)
     loss_fn = make_loss_fn(enc_cfg, dec_cfg, ts)
 
     b, hw = args.batch, 224
@@ -133,7 +132,20 @@ def main():
     t_enc = timeit("enc_fwd", lambda: enc_fn(params))
     t_fwd = timeit("loss_fwd", lambda: fwd_fn(params, batch, key))
     t_grad = timeit("grad", lambda: grad_fn(params, batch, key))
-    t_step = timeit("step", lambda: step(params, opt_state, batch, key)[2])
+
+    # the step metric uses the PRODUCTION program (donated params/opt
+    # state, as Trainer and bench.py run it): the non-donated twin above
+    # carries input->output buffer copies of the whole parameter set
+    dstep = make_train_step(enc_cfg, dec_cfg, ts, opt, donate=True)
+    dp_, do_ = jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy,
+                                                            opt_state)
+
+    def chained_step():
+        nonlocal dp_, do_
+        dp_, do_, loss, _ = dstep(dp_, do_, batch, key)
+        return loss
+
+    t_step = timeit("step", chained_step)
 
     from must3r_tpu.memory import round_capacity
     cap = round_capacity(v * npatch, ts.capacity_block)
@@ -154,11 +166,12 @@ def main():
     print(f"decoder fwd (fwd - enc):    {(t_fwd - t_enc) * 1e3:.1f} ms")
 
     if args.trace:
+        # production program: donated params/opt_state (as Trainer runs it)
         with jax.profiler.trace(args.trace):
             for _ in range(3):
-                out = step(params, opt_state, batch, key)[2]
+                out = chained_step()
             jax.block_until_ready(out)
-        print(f"trace written to {args.trace}")
+        print(f"trace written to {args.trace} (donated step)")
 
 
 if __name__ == "__main__":
