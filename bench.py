@@ -389,7 +389,8 @@ def bench_sharded_sp2():
     if not line:
         raise RuntimeError(f"sp2 worker failed: {out.stderr[-2000:]}")
     r = json.loads(line[-1])
-    _emit("sharded_sp2_overhead_vs_unsharded", r["overhead_x"], "x", None)
+    _emit(f"sharded_sp{sp_n}_overhead_vs_unsharded", r["overhead_x"], "x",
+          None)
 
 
 BENCHES = {
@@ -430,11 +431,12 @@ def main():
         print(f"unknown bench name(s) {unknown}; valid: {list(BENCHES)}",
               file=sys.stderr)
         sys.exit(2)
-    try:
-        _probe_rtt()
-    except Exception as e:
-        print(f"rtt probe failed: {type(e).__name__}: {e}", file=sys.stderr,
-              flush=True)
+    if set(names) != {"sharded_sp2"}:   # cpu-subprocess config: no device
+        try:
+            _probe_rtt()
+        except Exception as e:
+            print(f"rtt probe failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
     failed = False
     for name in names:
         try:
