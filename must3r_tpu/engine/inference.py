@@ -133,12 +133,13 @@ class InferenceCore:
         kv_quant: 'fp8' or 'int8' stores the token memory 8-bit with
         per-token scales (memory.quantize_kv); the CA kernel dequantizes
         in-flight. Halves the cache's HBM footprint (~2x keyframe capacity
-        per chip); compute stays bf16. Mutually exclusive with mesh (shard
-        OR quantize -- both at once is not supported)."""
+        per chip); compute stays bf16. Composes with mesh: the scales
+        shard with the tokens and each shard dequantizes only its local
+        slice, so int8 x sp multiplies per-chip keyframe capacity
+        (SURVEY §5.7's two capacity levers together)."""
         if kv_quant is not None:
             from must3r_tpu.memory import QUANT_DTYPES
             assert kv_quant in QUANT_DTYPES, kv_quant
-            assert mesh is None, "kv_quant: unsharded serving only"
         self.kv_quant = kv_quant
         if cast_params:
             # pre-cast weights to the compute dtype so the executables

@@ -274,8 +274,12 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
                 extra = None
             else:
                 # sharded: attend new tokens as a replicated side source
+                # (full-precision -- only the committed copy is quantized)
                 kv_att, scale_att = kv_l, scale_l
-                new_q, new_s = new_kv.astype(kv_l.dtype), None
+                if quantized:
+                    new_q, new_s = quantize_kv(new_kv, kv_l.dtype)
+                else:
+                    new_q, new_s = new_kv.astype(kv_l.dtype), None
                 extra = new_kv
             x = decoder_block(blk, x, kv_att, rope, labels, q_self=q_self,
                               q_upper=q_upper, kv_len=ca_kv_len,
@@ -300,6 +304,7 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
         scale_buf = mem.kv_scale
         raws_l = []
         new_kvs_l = []
+        new_ss_l = []
         for li in range(depth):
             blk = _block_slice(params["blocks"], li)
             raw = x.reshape(b, t_new, cfg.embed_dim)
@@ -307,9 +312,15 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
             extra = None
             if mesh is not None:
                 # sharded: never write mid-step; new tokens ride the CA as
-                # a replicated side source and commit once after the loop
+                # a replicated full-precision side source and commit once
+                # after the loop (quantized there if the cache is 8-bit)
                 extra = new_kv
-                new_kvs_l.append(new_kv.astype(kv_buf.dtype))
+                if quantized:
+                    new_q, new_s = quantize_kv(new_kv, kv_buf.dtype)
+                    new_kvs_l.append(new_q)
+                    new_ss_l.append(new_s)
+                else:
+                    new_kvs_l.append(new_kv.astype(kv_buf.dtype))
             elif quantized:
                 new_q, new_s = quantize_kv(new_kv, kv_buf.dtype)
                 scale_buf = jax.lax.dynamic_update_slice(
@@ -331,9 +342,12 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
         if mesh is not None:
             new_kvs = jnp.stack(new_kvs_l)
             kv_buf = None
+            new_ss = jnp.stack(new_ss_l) if quantized else None
+            if quantized:
+                scale_buf = None
         else:
             new_kvs = None
-        new_ss = None
+            new_ss = None
     else:
         x, (raws, new_kvs, new_ss) = jax.lax.scan(
             body, x, (params["blocks"], mem.kv, mem.kv_scale,
@@ -375,8 +389,16 @@ def decoder_update(params, cfg: DecoderConfig, mem: MemoryState, x_enc, pos,
             kv_buf = jax.lax.dynamic_update_slice(
                 mem.kv, new_kvs.astype(mem.kv.dtype), (0, 0, 0, start, 0))
     if quantized and scale_buf is None:
-        scale_buf = jax.lax.dynamic_update_slice(
-            mem.kv_scale, new_ss, (0, 0, 0, 0, start))
+        if mesh is not None:
+            from must3r_tpu.parallel.sharded_attention import (
+                sharded_window_write,
+            )
+            # [L, B, H, 2, S]: token axis 4 sharded like kv's axis 3
+            scale_buf = sharded_window_write(mesh, mem.kv_scale, new_ss,
+                                             start, token_axis=4)
+        else:
+            scale_buf = jax.lax.dynamic_update_slice(
+                mem.kv_scale, new_ss, (0, 0, 0, 0, start))
 
     new_mem = MemoryState(kv=kv_buf, labels=labels, length=kv_len,
                           n_imgs=mem.n_imgs,

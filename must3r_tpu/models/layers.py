@@ -168,16 +168,20 @@ def cross_attn(p, x, kv_packed, labels, q_self=None, q_upper=None,
             sharded_memory_cross_attention,
         )
         assert extra_mask is None, "dropout masks: unsharded path only"
-        assert kv_scale is None, "quantized cache: unsharded path only"
         kvl = kv_packed
         if kv_packed.ndim == 5:
             kvl = jax.lax.dynamic_index_in_dim(kv_packed, layer, 0,
+                                               keepdims=False)
+        scl = kv_scale
+        if scl is not None and scl.ndim == 5:
+            scl = jax.lax.dynamic_index_in_dim(scl, layer, 0,
                                                keepdims=False)
         o = sharded_memory_cross_attention(mesh, q, kvl, labels,
                                            q_self=q_self, q_upper=q_upper,
                                            axis=sp_axis, impl=impl,
                                            kv_len=kv_len, extra_kv=extra_kv,
-                                           extra_labels=extra_labels)
+                                           extra_labels=extra_labels,
+                                           kv_scale=scl)
     else:
         o = memory_cross_attention(q, kv_packed, labels, q_self=q_self,
                                    q_upper=q_upper, kv_len=kv_len,

@@ -57,7 +57,8 @@ def _partial_flash(q, kv, labels, q_self, q_upper):
 def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
                                    q_upper=None, axis: str = "sp",
                                    impl=None, kv_len=None,
-                                   extra_kv=None, extra_labels=None):
+                                   extra_kv=None, extra_labels=None,
+                                   kv_scale=None):
     """Label-masked CA against a memory sharded over `axis` along S.
 
     Each shard runs the SAME blockwise flash pass as the unsharded path
@@ -90,6 +91,12 @@ def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
         rewrite every local row (scripts/attr_sp2.py measured it at ~4.5x
         the unsharded append); attending new tokens as a replicated side
         source costs one tiny dense pass and zero communication.
+      kv_scale: optional per-(token, k|v) dequant scales [B, H, 2, S] for
+        an 8-bit quantized cache (memory.quantize_kv layout), sharded over
+        `axis` on S like ``kv``. Each shard dequantizes only its LOCAL
+        tokens (Pallas: in-flight inside the kernel; chunked: the local
+        slice) -- the int8/fp8 x sp composition multiplies per-chip
+        keyframe capacity (SURVEY §5.7's two capacity levers together).
     Returns [B, G, N, H, Dh] replicated.
     """
     from must3r_tpu.ops.attention import _ca_chunked, _ca_pallas, \
@@ -102,13 +109,15 @@ def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
     if q_upper is None:
         q_upper = jnp.full((b, g), INT32_MAX, jnp.int32)
     use = impl or _default_impl(dh)
+    has_scl = kv_scale is not None
 
-    def local(qv, kvv, lab, qs, qu):
+    def local(qv, kvv, lab, qs, qu, *scl):
         # replicated operands enter the shard body as 'unvarying' over the
         # sp axis; mark them varying so scan carries inside the flash pass
         # type-check (lax.pcast is a no-op in the compiled program)
         qv, qs, qu = (jax.lax.pcast(x, axis, to="varying")
                       for x in (qv, qs, qu))
+        scl = scl[0] if has_scl else None
         if use == "pallas":
             # bound the KV loop at this shard's fill level; a shard past
             # the global fill runs zero blocks -> kernel would NaN on the
@@ -122,7 +131,9 @@ def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
             def run(_):
                 out, lse = _ca_pallas(qv, kvv[None], lab, qs, qu,
                                       jnp.maximum(fill, 1), jnp.int32(0),
-                                      return_stats=True)
+                                      return_stats=True,
+                                      kv_scales=(scl[None] if has_scl
+                                                 else None))
                 lse = lse[:, :, :, :n, :].transpose(0, 1, 3, 2, 4)
                 return out, lse
 
@@ -132,7 +143,11 @@ def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
 
             out_i, lse_i = jax.lax.cond(fill > 0, run, empty, None)
         else:
-            k, v = jnp.split(kvv, 2, axis=-1)
+            kvl = kvv
+            if has_scl:
+                from must3r_tpu.memory import dequantize_kv
+                kvl = dequantize_kv(kvv, scl, qv.dtype)
+            k, v = jnp.split(kvl, 2, axis=-1)
             out_i, lse_i = _ca_chunked(qv, k, v, lab, qs, qu,
                                        return_stats=True)
         gm = jnp.maximum(jax.lax.pmax(lse_i, axis), -1e30)
@@ -144,11 +159,14 @@ def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
         lse = gm + jnp.log(jnp.maximum(den, 1e-30))
         return out, lse
 
+    in_specs = [P(), P(None, None, axis, None), P(None, axis), P(), P()]
+    args = [q, kv, labels, q_self, q_upper]
+    if has_scl:
+        in_specs.append(P(None, None, None, axis))
+        args.append(kv_scale)
     out_s, lse_s = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(), P(None, None, axis, None), P(None, axis), P(), P()),
-        out_specs=(P(), P()),
-    )(q, kv, labels, q_self, q_upper)
+        local, mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()),
+    )(*args)
     if extra_kv is None:
         return out_s
     from must3r_tpu.ops.attention import _ca_chunked
@@ -181,7 +199,11 @@ def shard_memory(mesh: Mesh, mem, axis: str = "sp"):
         length=jax.device_put(mem.length, rep),
         n_imgs=jax.device_put(mem.n_imgs, rep),
         protected_imgs=jax.device_put(mem.protected_imgs, rep),
-        protected_tokens=jax.device_put(mem.protected_tokens, rep))
+        protected_tokens=jax.device_put(mem.protected_tokens, rep),
+        kv_scale=(None if mem.kv_scale is None else jax.device_put(
+            # [L, B, H, 2, S]: token axis 4 sharded like kv's axis 3
+            mem.kv_scale, NamedSharding(
+                mesh, P(None, None, None, None, axis)))))
 
 
 def sharded_window_write(mesh: Mesh, buf, new, start, token_axis: int,

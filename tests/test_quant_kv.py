@@ -142,6 +142,29 @@ def test_ca_pallas_quant_interpret_matches(rng, dtype):
                                rtol=2e-2, atol=2e-2)
 
 
+def test_ca_pallas_quant_return_stats_interpret(rng):
+    """kv_scales + return_stats compose (the sharded CA's per-shard call,
+    parallel/sharded_attention.py): the out/lse pair from the quantized
+    kernel must renormalize to the dequantize-then-attend result."""
+    b, g, n, h, dh, s = 1, 1, 16, 2, 32, 64
+    q = jnp.asarray(rng.standard_normal((b, g, n, h, dh)), jnp.float32)
+    kv = jnp.asarray(rng.standard_normal((b, h, s, 2 * dh)) * 2, jnp.float32)
+    kv_q, scales = quantize_kv(kv, jnp.int8)
+    labels = np.full((b, s), -1, np.int32)
+    labels[:, :48] = rng.integers(0, 4, size=(b, 48))
+    labels = jnp.asarray(labels)
+    q_self = jnp.asarray([[-2]], jnp.int32)
+    q_upper = jnp.asarray([[INT32_MAX]], jnp.int32)
+    want = _ca_dequant_reference(q, kv_q, scales, labels, q_self, q_upper,
+                                 jnp.int32(48))
+    out, lse = _ca_pallas(q, kv_q, labels, q_self, q_upper, jnp.int32(48),
+                          block_k=16, interpret=True, kv_scales=scales,
+                          return_stats=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    assert np.isfinite(np.asarray(lse)).all()
+
+
 def test_ca_pallas_quant_layer_indexed(rng):
     """5D quantized cache + in-kernel layer select (serving layout)."""
     l_, b, g, n, h, dh, s = 3, 1, 1, 8, 1, 32, 32
