@@ -127,17 +127,37 @@ def soak_slam(frames, tiny=False, weights=None, kv_quant=None, res=None,
     n = len(frames)
     windows = []
     kf_trace = []
+    rss_trace = []
     t0 = time.perf_counter()
     t_win = t0
+    import resource
+
+    def _rss_gb():
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+    done = 0
     for i, frame in enumerate(frames):
         slam(frame, frame_id=i)
-        if (i + 1) % 100 == 0:
+        done = i + 1
+        if done % 25 == 0:
+            rss_trace.append(round(_rss_gb(), 2))
+            # host-RSS watchdog: the axon tunnel client has been observed
+            # retaining per-dispatch host buffers at flagship-512 shapes
+            # (the r4 500-frame soak was OOM-killed at 130 GB, dmesg);
+            # bail with the partial result instead of dying wordlessly
+            if rss_trace[-1] > 90.0:
+                print(f"  RSS {rss_trace[-1]} GB at frame {done} -- "
+                      f"stopping early (host-buffer retention)", flush=True)
+                break
+        if done % 100 == 0:
             now = time.perf_counter()
             windows.append(round(100.0 / (now - t_win), 2))
             kf_trace.append(len(slam.keyframes))
             t_win = now
-            print(f"  frame {i + 1}/{n}: window fps={windows[-1]}, "
-                  f"keyframes={len(slam.keyframes)}", flush=True)
+            print(f"  frame {done}/{n}: window fps={windows[-1]}, "
+                  f"keyframes={len(slam.keyframes)}, "
+                  f"rss={rss_trace[-1] if rss_trace else 0} GB", flush=True)
+    n = done
     total = time.perf_counter() - t0
     # drift: steady-state only -- window 0 contains every first-shape
     # compile, so including it made the metric read compile time, not
@@ -155,6 +175,7 @@ def soak_slam(frames, tiny=False, weights=None, kv_quant=None, res=None,
         "keyframes_per_window": kf_trace,
         "keyframe_ratio": round(len(slam.keyframes) / n, 3),
         "kv_quant": kv_quant,
+        "rss_gb_trace": rss_trace,
     }
     if capture_traj:
         out["_trajectory"] = np.stack(slam.all_poses)
