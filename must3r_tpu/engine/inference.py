@@ -112,6 +112,20 @@ def view_positions(img_hw, patch_size: int, portrait=None, batch_shape=()):
 # Jitted core
 # ---------------------------------------------------------------------------
 
+def cast_param_tree(p, target, keep=()):
+    """Pre-cast weights to the compute dtype so executables don't
+    re-convert 400M fp32 params on every dispatch. LayerNorm params (1D)
+    and the fp32 islands named in ``keep`` (patch_embed, prediction head)
+    keep full precision."""
+    def leaf(x):
+        if x.ndim >= 2 and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(target)
+        return x
+
+    return {k: (v if k in keep else jax.tree.map(leaf, v))
+            for k, v in p.items()}
+
+
 class InferenceCore:
     """Params + per-shape compiled step functions with donated memory.
 
@@ -142,24 +156,19 @@ class InferenceCore:
             assert kv_quant in QUANT_DTYPES, kv_quant
         self.kv_quant = kv_quant
         if cast_params:
-            # pre-cast weights to the compute dtype so the executables
-            # don't re-convert 400M fp32 params on every dispatch.
-            # LayerNorm params (1D) and the fp32 islands (patch_embed,
-            # prediction head) keep full precision.
-            def cast_tree(p, target, keep=()):
-                def leaf(x):
-                    if x.ndim >= 2 and jnp.issubdtype(x.dtype,
-                                                      jnp.floating):
-                        return x.astype(target)
-                    return x
-
-                return {k: (v if k in keep else jax.tree.map(leaf, v))
-                        for k, v in p.items()}
-
-            enc_params = cast_tree(
+            enc_params = cast_param_tree(
                 enc_params, dtype if enc_dtype is None else enc_dtype,
                 keep=("patch_embed",))
-            dec_params = cast_tree(dec_params, dtype, keep=("head_proj",))
+            dec_params = cast_param_tree(dec_params, dtype,
+                                         keep=("head_proj",))
+        if mesh is None:
+            # device-resident ONCE: checkpoint loaders return host numpy
+            # trees, and numpy params re-upload the full weight set on
+            # EVERY dispatch (through the axon tunnel that is ~1.3 GB and
+            # tens of seconds per frame -- the r4 512-soak OOM'd at 130 GB
+            # of retained staging buffers before its first progress print)
+            enc_params = jax.device_put(enc_params)
+            dec_params = jax.device_put(dec_params)
         self.enc_params = enc_params
         self.dec_params = dec_params
         self.enc_cfg = enc_cfg

@@ -76,7 +76,19 @@ class Must3rSLAM:
     def __init__(self, params, enc_cfg: EncoderConfig,
                  dec_cfg: DecoderConfig, cfg: SlamConfig = SlamConfig(),
                  dtype=jnp.bfloat16, impl: Optional[str] = None):
-        self.params = params
+        # device-resident, compute-dtype params ONCE at construction:
+        # checkpoint loaders return host numpy trees, and numpy params
+        # re-upload the whole weight set on EVERY frame dispatch (through
+        # the axon tunnel that is ~1.3 GB and tens of seconds per frame;
+        # the r4 512-soak was OOM-killed at 130 GB of retained staging
+        # buffers before its first progress print -- dmesg, docs/PERF.md)
+        from must3r_tpu.engine.inference import cast_param_tree
+        self.params = jax.device_put({
+            "encoder": cast_param_tree(params["encoder"], dtype,
+                                       keep=("patch_embed",)),
+            "decoder": cast_param_tree(params["decoder"], dtype,
+                                       keep=("head_proj",)),
+        })
         self.enc_cfg = enc_cfg
         self.dec_cfg = dec_cfg
         self.cfg = cfg
