@@ -178,6 +178,8 @@ class InferenceCore:
         self.enc_dtype = dtype if enc_dtype is None else enc_dtype
         self.impl = impl
         self.mesh = mesh
+        self._cpu_mesh = (mesh is not None
+                          and mesh.devices.flat[0].platform == "cpu")
         if mesh is not None:
             from must3r_tpu.parallel import replicate
             self.enc_params = replicate(mesh, self.enc_params)
@@ -279,14 +281,27 @@ class InferenceCore:
             outs.append(toks[:max_bs - pad] if pad and v > max_bs else toks)
         return jnp.concatenate(outs, axis=0)
 
+    def _fence(self, out):
+        """On a VIRTUAL CPU mesh, block each sharded dispatch before the
+        next is issued. XLA's in-process CPU communicator deadlocks (and
+        aborts via AwaitAndLogIfStuck) when two partitioned programs with
+        collectives execute concurrently on a starved host — async JAX
+        dispatch makes e.g. independent render chunks overlap. Real TPU
+        meshes queue per-device in order and never hit this; the fence is
+        a no-op there (and for mesh=None)."""
+        if self._cpu_mesh:
+            jax.block_until_ready(out)
+        return out
+
     def update(self, mem, x_enc, pos):
-        return self._update(self.dec_params, mem, x_enc, pos)
+        return self._fence(self._update(self.dec_params, mem, x_enc, pos))
 
     def refine(self, mem, x_enc, pos, labels):
-        return self._refine(self.dec_params, mem, x_enc, pos, labels)
+        return self._fence(
+            self._refine(self.dec_params, mem, x_enc, pos, labels))
 
     def render(self, mem, x_enc, pos):
-        return self._render(self.dec_params, mem, x_enc, pos)
+        return self._fence(self._render(self.dec_params, mem, x_enc, pos))
 
     def update_seq(self, mem, xs, ps, chunk: int = 8):
         """Sequential 1-view updates over xs [V, N, Denc] with the view
@@ -297,8 +312,8 @@ class InferenceCore:
         v = xs.shape[0]
         i = 0
         while i + chunk <= v:
-            mem = self._update_scan(self.dec_params, mem,
-                                    xs[i:i + chunk], ps[i:i + chunk])
+            mem = self._fence(self._update_scan(
+                self.dec_params, mem, xs[i:i + chunk], ps[i:i + chunk]))
             i += chunk
         for j in range(i, v):
             mem, _ = self.update(mem, xs[j][None, None], ps[j][None, None])
@@ -307,8 +322,9 @@ class InferenceCore:
     def render_post(self, mem, x_enc, pos, portrait_mask, img_hw,
                     compute_cam: bool = True):
         """Render + head + postprocess fused into one dispatch."""
-        return self._render_post(self.dec_params, mem, x_enc, pos,
-                                 portrait_mask, tuple(img_hw), compute_cam)
+        return self._fence(
+            self._render_post(self.dec_params, mem, x_enc, pos,
+                              portrait_mask, tuple(img_hw), compute_cam))
 
     def head(self, tokens, img_hw, portrait_mask=None):
         if portrait_mask is None:
@@ -669,4 +685,15 @@ def make_fused_offline(core: InferenceCore, n_views: int, img_hw,
             out = {k: v[0] for k, v in out.items()}
         return out
 
+    # expose the raw (unjitted) pipeline + its non-image args so callers
+    # can embed the whole reconstruction inside a larger jitted program
+    # (e.g. a lax.scan over many collections: back-to-back serving with
+    # ONE dispatch, used by bench.py to time pure device throughput)
+    run.pipeline = pipeline
+    run.fixed_args = lambda: (
+        core.enc_params, core.dec_params,
+        view_positions(img_hw, enc_cfg.patch_size,
+                       jnp.zeros((s, n_views), bool),
+                       batch_shape=(s, n_views)),
+        jnp.zeros((s, n_views), bool))
     return run

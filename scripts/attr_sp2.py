@@ -36,6 +36,10 @@ def _reexec_cpu(n_dev):
     env.update({"JAX_PLATFORMS": "cpu", "_ATTR_SP2_CHILD": "1",
                 "XLA_FLAGS": (env.get("XLA_FLAGS", "") +
                               f" --xla_force_host_platform_device_count={n_dev}"
+                              " --xla_cpu_collective_call_warn_stuck_"
+                              "timeout_seconds=120"
+                              " --xla_cpu_collective_call_terminate_"
+                              "timeout_seconds=1200"
                               ).strip()})
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 

@@ -130,16 +130,24 @@ def soak_slam(frames, tiny=False, weights=None, kv_quant=None, res=None,
     rss_trace = []
     t0 = time.perf_counter()
     t_win = t0
-    import resource
+    import gc
 
     def _rss_gb():
-        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        # CURRENT rss (not ru_maxrss peak): shows whether the periodic
+        # gc below actually releases the axon client's per-dispatch host
+        # buffers or they are retained by native-side references
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e9
 
     done = 0
     for i, frame in enumerate(frames):
         slam(frame, frame_id=i)
         done = i + 1
         if done % 25 == 0:
+            # if the retention is python-side (buffers alive until a gen-2
+            # collection), this caps it; native retention shows up as a
+            # monotone rss_trace regardless
+            gc.collect()
             rss_trace.append(round(_rss_gb(), 2))
             # host-RSS watchdog: the axon tunnel client has been observed
             # retaining per-dispatch host buffers at flagship-512 shapes

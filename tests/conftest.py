@@ -15,8 +15,16 @@ REAL_TPU = bool(os.environ.get("JAX_REAL_TPU"))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if not REAL_TPU and "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if not REAL_TPU and "collective_call_terminate" not in flags:
+    # XLA's in-process CPU communicator ABORTS the process when a
+    # collective waits longer than ~30s. On a 1-core CI host, 8 virtual
+    # devices time-share that core, so a psum legitimately waits minutes
+    # whenever other async dispatches are draining -- a starved
+    # rendezvous, not a deadlock. Raise both watchdogs.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -131,6 +131,10 @@ def _env(extra):
            if not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))}
     env.update({"JAX_PLATFORMS": "cpu"})
     env.update(extra)
+    if "XLA_FLAGS" in env:   # starved-rendezvous watchdogs (conftest.py)
+        env["XLA_FLAGS"] += (
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
     return env
 
 
