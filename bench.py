@@ -52,6 +52,30 @@ BASELINE_OFFLINE_224 = 98.0
 BASELINE_VO_FPS = 10.0
 
 
+# --compile-only mode: build + compile the scanned measurement program
+# (populating the persistent cache), emit nothing, exit. Used by the
+# parent bench process to bound first-compile time (see _offline).
+_COMPILE_ONLY = False
+_CURRENT_BENCH = None
+
+
+def _precompile_in_subprocess():
+    """Compile the current config's scanned program in a child process
+    bounded by BENCH_COMPILE_TIMEOUT seconds. On success the program is
+    in the persistent cache and the caller's own compile is a fast cache
+    hit; on timeout/failure we raise so the caller degrades to the
+    host-loop measurement instead of hanging the whole capture."""
+    import subprocess
+    timeout = float(os.environ.get("BENCH_COMPILE_TIMEOUT", "1200"))
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), _CURRENT_BENCH,
+         "--compile-only"],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=timeout, capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f"precompile failed: {r.stderr[-500:]}")
+
+
 def _emit(metric, value, unit, vs_baseline):
     print(json.dumps({
         "metric": metric,
@@ -109,12 +133,47 @@ def _offline(configs, n_views, h, w, metric, baseline, n_scenes=1,
         c, _ = jax.lax.scan(body, jnp.float32(0), st)
         return c
 
-    float(scanned(stack))  # compile + warm
+    # The scanned program is large; the remote compile service behind the
+    # axon tunnel has been observed to drop the connection mid-compile
+    # ("Broken pipe" after ~30 min) when its health is poor. Two guards:
+    #   (a) the first compile happens in a SUBPROCESS bounded by
+    #       BENCH_COMPILE_TIMEOUT (default 1200 s); on success it lands in
+    #       the persistent cache and the parent re-lowers in seconds. A
+    #       hung compile service therefore costs a bounded slice of the
+    #       capture budget, not all of it.
+    #   (b) any residual compile/tunnel failure falls back to the
+    #       host-side pipelined loop (reps dispatches, one fetch) —
+    #       noisier through a sick tunnel, but always measurable — and is
+    #       marked with a *_degraded_hostloop diagnostic line.
+    degraded = False
+    if _COMPILE_ONLY:
+        scanned.lower(stack).compile()
+        return
+    try:
+        _precompile_in_subprocess()
+        float(scanned(stack))  # compile (cache hit) + warm
 
-    def trial():
-        t0 = time.perf_counter()
-        float(scanned(stack))
-        return time.perf_counter() - t0
+        def trial():
+            t0 = time.perf_counter()
+            float(scanned(stack))
+            return time.perf_counter() - t0
+    except Exception as e:   # remote-compile / tunnel failure
+        degraded = True
+        print(f"scanned-program compile failed ({type(e).__name__}: "
+              f"{str(e)[:200]}); falling back to host-loop measurement",
+              file=sys.stderr, flush=True)
+
+        def hostrun():
+            outs = [fused(imgs) for _ in range(reps)]
+            return float(sum(jnp.sum(v.astype(jnp.float32))
+                             for v in outs[-1].values()))
+
+        hostrun()  # compile + warm (the small per-call program)
+
+        def trial():
+            t0 = time.perf_counter()
+            hostrun()
+            return time.perf_counter() - t0
 
     # chip health can still vary minute-to-minute: corroborate the best
     # trial within 10% or exhaust the budget, report the best window
@@ -127,6 +186,8 @@ def _offline(configs, n_views, h, w, metric, baseline, n_scenes=1,
     _emit(metric, rate, "views/s", baseline)
     spread = (max(times) - min(times)) / min(times)
     _emit(metric + "_trial_spread", 100 * spread, "%", None)
+    if degraded:
+        _emit(metric + "_degraded_hostloop", 1, "bool", None)
 
     if emit_device_rate:
         # host-loop diagnostic: dispatch reps reconstructions from the
@@ -448,13 +509,19 @@ def _probe_rtt():
 
 
 def main():
-    names = sys.argv[1:] or list(BENCHES)
+    global _COMPILE_ONLY, _CURRENT_BENCH
+    argv = sys.argv[1:]
+    if "--compile-only" in argv:
+        _COMPILE_ONLY = True
+        argv = [a for a in argv if a != "--compile-only"]
+    names = argv or list(BENCHES)
     unknown = [n for n in names if n not in BENCHES]
     if unknown:
         print(f"unknown bench name(s) {unknown}; valid: {list(BENCHES)}",
               file=sys.stderr)
         sys.exit(2)
-    if set(names) != {"sharded_sp2"}:   # cpu-subprocess config: no device
+    if not _COMPILE_ONLY and set(names) != {"sharded_sp2"}:
+        # (sharded_sp2 is a cpu-subprocess config: no device here)
         try:
             _probe_rtt()
         except Exception as e:
@@ -462,6 +529,7 @@ def main():
                   file=sys.stderr, flush=True)
     failed = False
     for name in names:
+        _CURRENT_BENCH = name
         try:
             BENCHES[name]()
         except Exception as e:  # isolate: one failing config must not
