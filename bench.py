@@ -1,9 +1,32 @@
-"""Benchmarks for the five BASELINE.json configs.
+"""Benchmarks for the BASELINE.json configs.
 
-Prints ONE JSON line per config — {"metric", "value", "unit",
+Prints ONE JSON line per metric — {"metric", "value", "unit",
 "vs_baseline"} — with the headline metric (offline 512x384 10-view
 views/s, the round-1 metric) printed LAST so drivers that parse only the
 final line keep series continuity.
+
+Capture design (round 5). The top-level process is a pure ORCHESTRATOR:
+it never initializes the device. Every config runs in a bounded child
+subprocess against one shared wall-clock budget (BENCH_TOTAL_BUDGET,
+default 1500 s), in two passes:
+
+  pass 1 (fast): every config emits a number via its cheap path — the
+    host-side pipelined loop for the offline configs (marked
+    *_degraded_hostloop=1), the plain measurement for the rest. The
+    headline config runs FIRST so its line exists even if the capture
+    is later killed.
+  pass 2 (upgrade): with remaining budget, ONE bounded child compiles
+    the scanned back-to-back serving programs into the persistent cache
+    (before touching them from a measuring child), then each offline
+    config re-emits its metric from the scanned measurement
+    (*_degraded_hostloop=0).
+
+A metric may therefore appear twice; the LAST occurrence of each metric
+name is authoritative. The headline line is re-emitted at the very end.
+A child that dies/times out yields a `bench_<name>_capture_failed`
+diagnostic, never a hang: no unbounded compile ever runs outside a
+child's timeout (the round-4 failure mode — a 1200 s-per-config
+precompile on a cold cache — is structurally impossible).
 
 Configs (BASELINE.json "configs" list):
   1. two_view_224      MUSt3R_224 offline 2-view reconstruction
@@ -22,7 +45,8 @@ vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
 Where a defensible estimate of the CUDA+xformers reference on one A100
 exists it is used and documented inline; otherwise vs_baseline is null.
 
-Run a single config with `python bench.py <name>`.
+Run a single config with `python bench.py <name>` (still orchestrated:
+fast pass + scanned upgrade for that config only).
 """
 
 import json
@@ -30,15 +54,9 @@ import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 # persistent compilation cache: each program compiles once per machine;
 # subsequent bench invocations start in seconds
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_must3r"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+_CACHE_DIR = os.path.expanduser("~/.cache/jax_must3r")
 
 # Round-1 baseline estimate: ~25 views/s for the reference offline
 # pipeline (A100, 512x384, ViT-L encode + ViT-B decode + render,
@@ -51,29 +69,7 @@ BASELINE_OFFLINE_224 = 98.0
 # for an A100 (the repo publishes none) -> 10 fps.
 BASELINE_VO_FPS = 10.0
 
-
-# --compile-only mode: build + compile the scanned measurement program
-# (populating the persistent cache), emit nothing, exit. Used by the
-# parent bench process to bound first-compile time (see _offline).
-_COMPILE_ONLY = False
-_CURRENT_BENCH = None
-
-
-def _precompile_in_subprocess():
-    """Compile the current config's scanned program in a child process
-    bounded by BENCH_COMPILE_TIMEOUT seconds. On success the program is
-    in the persistent cache and the caller's own compile is a fast cache
-    hit; on timeout/failure we raise so the caller degrades to the
-    host-loop measurement instead of hanging the whole capture."""
-    import subprocess
-    timeout = float(os.environ.get("BENCH_COMPILE_TIMEOUT", "1200"))
-    r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), _CURRENT_BENCH,
-         "--compile-only"],
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-        timeout=timeout, capture_output=True, text=True)
-    if r.returncode != 0:
-        raise RuntimeError(f"precompile failed: {r.stderr[-500:]}")
+HEADLINE_METRIC = "views_per_sec_offline_512x384_10views"
 
 
 def _emit(metric, value, unit, vs_baseline):
@@ -86,41 +82,78 @@ def _emit(metric, value, unit, vs_baseline):
     }), flush=True)
 
 
-def _offline(configs, n_views, h, w, metric, baseline, n_scenes=1,
-             emit_device_rate=False):
+# ---------------------------------------------------------------------------
+# Device-side bench bodies (run only inside child processes)
+# ---------------------------------------------------------------------------
+
+def _init_jax():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+# (enc_preset, n_views, h, w, metric, baseline, n_scenes)
+_OFFLINE_CONFIGS = {
+    "two_view_224": ("224", 2, 224, 224,
+                     "views_per_sec_offline_224x224_2views",
+                     BASELINE_OFFLINE_224, 1),
+    # Bulk-serving variant: 8 independent 2-view scenes per dispatch.
+    # One scene leaves 224-class matmuls tiny ([392, 1024] activations,
+    # ~29 TF/s effective -- docs/PERF.md); batching scenes is the lever.
+    # vs_baseline deliberately None: the published-recipe comparison is
+    # the 1-scene config; an 8-scene aggregate over the 1-scene baseline
+    # would read as a fake ~8x.
+    "two_view_224_x8": ("224", 2, 224, 224,
+                        "views_per_sec_offline_224x224_2views_x8scenes",
+                        None, 8),
+    "offline_512": ("512", 10, 384, 512, HEADLINE_METRIC,
+                    BASELINE_OFFLINE_512, 1),
+}
+
+
+def _build_offline(name):
+    jax = _init_jax()
+    import jax.numpy as jnp
+
+    from must3r_tpu.config import must3r_224_configs, must3r_512_configs
     from must3r_tpu.engine import InferenceCore, make_fused_offline
     from must3r_tpu.models import init_decoder, init_encoder
 
-    enc_cfg, dec_cfg = configs
+    preset, n_views, h, w, metric, baseline, n_scenes = _OFFLINE_CONFIGS[name]
+    enc_cfg, dec_cfg = (must3r_224_configs() if preset == "224"
+                        else must3r_512_configs())
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     core = InferenceCore(init_encoder(k1, enc_cfg), init_decoder(k2, dec_cfg),
                          enc_cfg, dec_cfg, dtype=jnp.bfloat16)
     fused = make_fused_offline(core, n_views, (h, w), compute_cam=True,
                                n_scenes=n_scenes)
-
     shape = (n_views, h, w, 3) if n_scenes == 1 \
         else (n_scenes, n_views, h, w, 3)
     imgs = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
-
-    # ---- primary measurement: back-to-back serving inside ONE program.
-    # The reps loop rides a lax.scan over `reps` independent input
-    # collections, each fully reconstructed on device, reduced to a
-    # checksum carried through the scan (so nothing is dead code and
-    # nothing is loop-invariant). One dispatch + one scalar fetch per
-    # timed trial: the measurement reads pure device throughput — the
-    # steady-state serving rate a local TPU-VM host would observe —
-    # regardless of the tunnel's per-dispatch RTT (probed separately as
-    # tunnel_rtt_ms_median; at reps>=16 the single RTT in the timed
-    # region is <6% even on the smallest config). Round-3/4 history: the
-    # old host-side pipelined loop read 46-167 views/s for the SAME code
-    # depending on tunnel health (docs/PERF.md), because axon serializes
-    # dispatch confirmation; the scanned program removes that axis.
     small = n_views * h * w * n_scenes <= 2 * 224 * 224 * 8
     reps = 32 if small else 8
+    return (fused, imgs, shape, reps, n_views, n_scenes, metric, baseline)
+
+
+def _make_scanned(fused, shape, reps):
+    """Back-to-back serving inside ONE program: a lax.scan over `reps`
+    independent input collections, each fully reconstructed on device,
+    reduced to a checksum carried through the scan (nothing is dead code
+    or loop-invariant). One dispatch + one scalar fetch per timed trial:
+    reads pure device throughput — the steady-state serving rate a local
+    TPU-VM host would observe — regardless of the tunnel's per-dispatch
+    RTT (probed separately as tunnel_rtt_ms_median). Round-3/4 history:
+    the host-side pipelined loop read 46-167 views/s for the SAME code
+    depending on tunnel health (docs/PERF.md), because axon serializes
+    dispatch confirmation; the scanned program removes that axis."""
+    import jax
+    import jax.numpy as jnp
+
     enc_p, dec_p, pos, portrait = fused.fixed_args()
     stack = jax.random.normal(jax.random.PRNGKey(2), (reps,) + shape,
                               jnp.float32)
-    if n_scenes == 1:
+    if len(shape) == 4:
         stack = stack[:, None]              # pipeline expects [S, V, ...]
 
     def body(c, im):
@@ -133,112 +166,116 @@ def _offline(configs, n_views, h, w, metric, baseline, n_scenes=1,
         c, _ = jax.lax.scan(body, jnp.float32(0), st)
         return c
 
-    # The scanned program is large; the remote compile service behind the
-    # axon tunnel has been observed to drop the connection mid-compile
-    # ("Broken pipe" after ~30 min) when its health is poor. Two guards:
-    #   (a) the first compile happens in a SUBPROCESS bounded by
-    #       BENCH_COMPILE_TIMEOUT (default 1200 s); on success it lands in
-    #       the persistent cache and the parent re-lowers in seconds. A
-    #       hung compile service therefore costs a bounded slice of the
-    #       capture budget, not all of it.
-    #   (b) any residual compile/tunnel failure falls back to the
-    #       host-side pipelined loop (reps dispatches, one fetch) —
-    #       noisier through a sick tunnel, but always measurable — and is
-    #       marked with a *_degraded_hostloop diagnostic line.
-    degraded = False
-    if _COMPILE_ONLY:
-        scanned.lower(stack).compile()
-        return
-    try:
-        _precompile_in_subprocess()
-        float(scanned(stack))  # compile (cache hit) + warm
+    return scanned, stack
 
-        def trial():
-            t0 = time.perf_counter()
-            float(scanned(stack))
-            return time.perf_counter() - t0
-    except Exception as e:   # remote-compile / tunnel failure
-        degraded = True
-        print(f"scanned-program compile failed ({type(e).__name__}: "
-              f"{str(e)[:200]}); falling back to host-loop measurement",
-              file=sys.stderr, flush=True)
 
-        def hostrun():
-            outs = [fused(imgs) for _ in range(reps)]
-            return float(sum(jnp.sum(v.astype(jnp.float32))
-                             for v in outs[-1].values()))
-
-        hostrun()  # compile + warm (the small per-call program)
-
-        def trial():
-            t0 = time.perf_counter()
-            hostrun()
-            return time.perf_counter() - t0
-
-    # chip health can still vary minute-to-minute: corroborate the best
-    # trial within 10% or exhaust the budget, report the best window
+def _timed_trials(trial, metric, rate_of, baseline):
+    """3 trials, corroborate the best within 10% or take up to 8; report
+    the best window + spread (chip health varies minute-to-minute)."""
     times = [trial() for _ in range(3)]
-    while (len(times) < 8
-           and sorted(times)[1] > 1.10 * min(times)):
+    while len(times) < 8 and sorted(times)[1] > 1.10 * min(times):
         times.append(trial())
-    t_best = min(times)
-    rate = reps * n_scenes * n_views / t_best
-    _emit(metric, rate, "views/s", baseline)
+    _emit(metric, rate_of(min(times)), "views/s", baseline)
     spread = (max(times) - min(times)) / min(times)
     _emit(metric + "_trial_spread", 100 * spread, "%", None)
-    if degraded:
-        _emit(metric + "_degraded_hostloop", 1, "bool", None)
 
-    if emit_device_rate:
-        # host-loop diagnostic: dispatch reps reconstructions from the
-        # host with one final fetch. On a local TPU-VM this matches the
-        # scanned rate; through the tunnel it additionally pays dispatch
-        # serialization, so the DELTA to the scanned rate isolates the
-        # environment tax (recorded, not hidden).
-        def hostloop(n):
-            outs = [fused(imgs) for _ in range(n)]
-            return float(sum(jnp.sum(v) for o in outs
-                             for v in o.values()))
 
-        hostloop(2)  # warm this dispatch path
+def child_offline_fast(name):
+    """Host-side pipelined loop: reps dispatches, one fetch. Noisier
+    through a sick tunnel than the scanned program (pays dispatch
+    serialization), but small to compile and always measurable."""
+    import jax.numpy as jnp
+    (fused, imgs, _, reps, n_views, n_scenes,
+     metric, baseline) = _build_offline(name)
+
+    def hostrun():
+        outs = [fused(imgs) for _ in range(reps)]
+        return float(sum(jnp.sum(v.astype(jnp.float32))
+                         for v in outs[-1].values()))
+
+    hostrun()  # compile + warm (the small per-call program)
+
+    def trial():
         t0 = time.perf_counter()
-        hostloop(reps)
-        t_host = time.perf_counter() - t0
-        _emit("hostloop_" + metric,
-              reps * n_scenes * n_views / t_host, "views/s", baseline)
+        hostrun()
+        return time.perf_counter() - t0
+
+    _timed_trials(trial, metric,
+                  lambda t: reps * n_scenes * n_views / t, baseline)
+    _emit(metric + "_degraded_hostloop", 1, "bool", None)
 
 
-def bench_two_view_224():
-    from must3r_tpu.config import must3r_224_configs
-    _offline(must3r_224_configs(), 2, 224, 224,
-             "views_per_sec_offline_224x224_2views", BASELINE_OFFLINE_224,
-             emit_device_rate=True)
+def child_offline_scanned(name):
+    (fused, _, shape, reps, n_views, n_scenes,
+     metric, baseline) = _build_offline(name)
+    scanned, stack = _make_scanned(fused, shape, reps)
+    float(scanned(stack))  # compile (persistent-cache hit) + warm
+
+    def trial():
+        t0 = time.perf_counter()
+        float(scanned(stack))
+        return time.perf_counter() - t0
+
+    _timed_trials(trial, metric,
+                  lambda t: reps * n_scenes * n_views / t, baseline)
+    _emit(metric + "_degraded_hostloop", 0, "bool", None)
 
 
-def bench_two_view_224_batched():
-    """Bulk-serving variant: 8 independent 2-view scenes per dispatch.
-    One scene leaves 224-class matmuls tiny ([392, 1024] activations,
-    ~29 TF/s effective -- docs/PERF.md); batching scenes is the lever."""
-    from must3r_tpu.config import must3r_224_configs
-    # vs_baseline deliberately None: the published-recipe comparison is
-    # the 1-scene config above; an 8-scene aggregate over the 1-scene
-    # baseline would read as a fake ~8x
-    _offline(must3r_224_configs(), 2, 224, 224,
-             "views_per_sec_offline_224x224_2views_x8scenes",
-             None, n_scenes=8)
+def child_compile_only(names):
+    """Compile the scanned AND per-call programs for the given offline
+    configs into the persistent cache; emit nothing. Run by the
+    orchestrator BEFORE any measuring child touches the device, so
+    measuring children only ever see cache hits. Non-offline names are
+    rejected (they have no separate compile phase)."""
+    bad = [n for n in names if n not in _OFFLINE_CONFIGS]
+    if bad:
+        print(f"--compile-only supports only {list(_OFFLINE_CONFIGS)}, "
+              f"got {bad}", file=sys.stderr)
+        sys.exit(2)
+    for name in names:
+        fused, imgs, shape, reps, *_ = _build_offline(name)
+        scanned, stack = _make_scanned(fused, shape, reps)
+        t0 = time.perf_counter()
+        scanned.lower(stack).compile()
+        print(f"compiled scanned[{name}] in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        import jax
+        jax.block_until_ready(fused(imgs))
+        print(f"compiled percall[{name}] in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
 
 
-def bench_offline_512():
-    from must3r_tpu.config import must3r_512_configs
-    _offline(must3r_512_configs(), 10, 384, 512,
-             "views_per_sec_offline_512x384_10views", BASELINE_OFFLINE_512)
+def child_rtt():
+    """Emit the host<->device dispatch+fetch round-trip as a diagnostic
+    metric line. The chip in this environment sits behind a remote tunnel
+    whose RTT (~26 ms when healthy, minute-to-minute spikes observed to
+    4x that) bounds any latency-sensitive measurement on small configs; a
+    local TPU-VM host would measure ~0. Recording it NEXT TO the numbers
+    makes each capture's environment part of the record (VERDICT r3 next
+    #1). vs_baseline: null (diagnostic, not a throughput metric)."""
+    jax = _init_jax()
+    import jax.numpy as jnp
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda v: v + 1.0)
+    float(f(x)[0, 0])                       # compile + warm
+    rtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(f(x)[0, 0])                   # one dispatch + one fetch
+        rtts.append(time.perf_counter() - t0)
+    _emit("tunnel_rtt_ms_median", 1e3 * sorted(rtts)[len(rtts) // 2],
+          "ms", None)
 
 
-def bench_retrieval_50():
+def child_retrieval_50():
     """Keyframe selection on an unordered 50-image collection: encode all
     (ViT-L, 512x384), HOW-style local features, ASMK similarity matrix,
     FPS anchors + greedy ordering (reference demo/inference.py:139-171 +
     retrieval/processor.py:95-126)."""
+    jax = _init_jax()
+    import jax.numpy as jnp
+
     from must3r_tpu.config import must3r_512_configs
     from must3r_tpu.demo.inference import select_keyframes
     from must3r_tpu.engine import InferenceCore
@@ -279,13 +316,17 @@ def bench_retrieval_50():
           "images/s", None)
 
 
-def bench_online_vo():
+def child_online_vo():
     """Streaming VO frame rate, device-pipelined: each frame is one fused
     program (uint8 upload -> ImgNorm -> encode -> tentative update -> head
     -> activation/focal/Procrustes/overlap inputs). Frames are dispatched
     back-to-back with the memory donated (always-commit), materializing
     once at the end — the rate a local TPU-VM host sees; a remote tunnel
     adds its own per-frame round-trip on top (docs/PERF.md)."""
+    jax = _init_jax()
+    import jax.numpy as jnp
+    import numpy as np
+
     from must3r_tpu.config import must3r_512_configs
     from must3r_tpu.engine.inference import view_positions
     from must3r_tpu.models import init_decoder, init_encoder
@@ -326,11 +367,15 @@ def bench_online_vo():
           BASELINE_VO_FPS)
 
 
-def bench_train_step():
+def child_train_step():
     """Causal multi-view training step: flagship towers @224 (the
     reference 224 training recipe, README.md:242), 20 views in causal
     blocks of 5, 2 rendered views, bf16 + token dropout + remat."""
     import dataclasses
+
+    jax = _init_jax()
+    import jax.numpy as jnp
+    import numpy as np
 
     from must3r_tpu.config import must3r_224_configs
     from must3r_tpu.engine.train import (TrainSettings, cast_frozen_params,
@@ -443,7 +488,7 @@ print(json.dumps({"unsharded_ms": t1 * 1e3, "sharded_ms": t2 * 1e3,
 """
 
 
-def bench_sharded_sp2():
+def child_sharded_sp2():
     """SURVEY §5.7 sequence parallelism: update+render cost with the KV
     memory sharded over a 2-way 'sp' mesh vs unsharded, on a virtual CPU
     mesh (one real chip here; the sharded path's win is HBM capacity --
@@ -452,7 +497,6 @@ def bench_sharded_sp2():
     LSE merge keeps it near 1x (attribution: scripts/attr_sp2.py). Set
     SP_N=4 for the 4-way scaling point."""
     import subprocess
-    import sys as _sys
 
     sp_n = int(os.environ.get("SP_N", "2"))
     env = {k: v for k, v in os.environ.items()
@@ -465,7 +509,7 @@ def bench_sharded_sp2():
                     "=120"
                     " --xla_cpu_collective_call_terminate_timeout_seconds"
                     "=1200"})
-    out = subprocess.run([_sys.executable, "-c", _SP2_WORKER],
+    out = subprocess.run([sys.executable, "-c", _SP2_WORKER],
                          cwd=os.path.dirname(os.path.abspath(__file__)),
                          env=env, capture_output=True, text=True,
                          timeout=1200)
@@ -477,68 +521,150 @@ def bench_sharded_sp2():
           None)
 
 
-BENCHES = {
-    "two_view_224": bench_two_view_224,
-    "two_view_224_x8": bench_two_view_224_batched,
-    "retrieval_50": bench_retrieval_50,
-    "online_vo": bench_online_vo,
-    "train_step": bench_train_step,
-    "sharded_sp2": bench_sharded_sp2,
-    "offline_512": bench_offline_512,   # headline last
-}
+# bench name -> (fast-pass fn, static wall cap seconds). Fast-pass order
+# below is the pass-1 execution order: headline config first.
+_FAST_PLAN = [
+    ("rtt", child_rtt, 120),
+    ("offline_512", lambda: child_offline_fast("offline_512"), 420),
+    ("two_view_224", lambda: child_offline_fast("two_view_224"), 300),
+    ("two_view_224_x8", lambda: child_offline_fast("two_view_224_x8"), 300),
+    ("online_vo", child_online_vo, 420),
+    ("train_step", child_train_step, 540),
+    ("retrieval_50", child_retrieval_50, 420),
+    ("sharded_sp2", child_sharded_sp2, 540),
+]
+_FAST_FNS = {name: fn for name, fn, _ in _FAST_PLAN}
+# pass-2 scanned upgrades (offline configs only), headline first
+_SCANNED_ORDER = ["offline_512", "two_view_224", "two_view_224_x8"]
+
+BENCHES = [name for name, _, _ in _FAST_PLAN if name != "rtt"]
 
 
-def _probe_rtt():
-    """Emit the host<->device dispatch+fetch round-trip as a diagnostic
-    metric line. The chip in this environment sits behind a remote tunnel
-    whose RTT (~26 ms when healthy, minute-to-minute spikes observed to
-    4x that) bounds any latency-sensitive measurement on small configs; a
-    local TPU-VM host would measure ~0. Recording it NEXT TO the numbers
-    makes each capture's environment part of the record (VERDICT r3 next
-    #1). vs_baseline: null (diagnostic, not a throughput metric)."""
-    x = jnp.zeros((8, 128), jnp.float32)
-    f = jax.jit(lambda v: v + 1.0)
-    float(f(x)[0, 0])                       # compile + warm
-    rtts = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        float(f(x)[0, 0])                   # one dispatch + one fetch
-        rtts.append(time.perf_counter() - t0)
-    _emit("tunnel_rtt_ms_median", 1e3 * sorted(rtts)[len(rtts) // 2],
-          "ms", None)
+# ---------------------------------------------------------------------------
+# Orchestrator (never touches the device)
+# ---------------------------------------------------------------------------
+
+class _Budget:
+    def __init__(self, total):
+        self.deadline = time.monotonic() + total
+
+    def remaining(self):
+        return self.deadline - time.monotonic()
+
+    def cap(self, static_cap, n_after, floor_each=45.0):
+        """Child timeout: its static cap, shrunk so that each of the
+        n_after remaining children keeps at least floor_each seconds."""
+        return min(static_cap, self.remaining() - floor_each * n_after)
+
+
+def _run_child(argv, timeout, tag):
+    """Run a bounded child; relay its JSON metric lines to stdout and
+    everything else to stderr. Partial lines from a killed child are
+    still relayed (a timed-out child's already-emitted metrics land in
+    the record). Returns (ok, headline_line_or_None)."""
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__)] + argv
+    try:
+        r = subprocess.run(cmd, cwd=os.path.dirname(os.path.abspath(__file__)),
+                           timeout=max(1.0, timeout), capture_output=True,
+                           text=True)
+        out, err, rc = r.stdout, r.stderr, r.returncode
+    except subprocess.TimeoutExpired as e:
+        out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
+            else (e.stdout or "")
+        err = (e.stderr or b"").decode() if isinstance(e.stderr, bytes) \
+            else (e.stderr or "")
+        rc = -1
+        print(f"[{tag}] timed out after {timeout:.0f}s", file=sys.stderr,
+              flush=True)
+    headline = None
+    for ln in out.splitlines():
+        if ln.startswith("{"):
+            print(ln, flush=True)
+            try:
+                if json.loads(ln).get("metric") == HEADLINE_METRIC:
+                    headline = ln
+            except ValueError:
+                pass
+        else:
+            print(f"[{tag}] {ln}", file=sys.stderr, flush=True)
+    if err.strip():
+        tail = err.strip().splitlines()[-8:]
+        for ln in tail:
+            print(f"[{tag}] {ln}", file=sys.stderr, flush=True)
+    if rc != 0:
+        print(f"[{tag}] child rc={rc}", file=sys.stderr, flush=True)
+    return rc == 0, headline
+
+
+def orchestrate(names):
+    budget = _Budget(float(os.environ.get("BENCH_TOTAL_BUDGET", "1500")))
+    headline_line = None
+
+    # ---- pass 1: fast path for every requested config
+    plan = [(n, cap) for n, _, cap in _FAST_PLAN
+            if n == "rtt" or n in names]
+    for i, (name, static_cap) in enumerate(plan):
+        cap = budget.cap(static_cap, len(plan) - 1 - i)
+        if cap < 60:
+            _emit(f"bench_{name}_capture_skipped", 1, "bool", None)
+            continue
+        ok, hl = _run_child(["--child", "fast", name], cap, f"fast:{name}")
+        if hl:
+            headline_line = hl
+        if not ok and name != "rtt":
+            _emit(f"bench_{name}_capture_failed", 1, "bool", None)
+
+    # ---- pass 2: scanned upgrades for the offline configs
+    scan_names = [n for n in _SCANNED_ORDER if n in names]
+    if scan_names and budget.remaining() > 300:
+        # one compile child populates the persistent cache BEFORE any
+        # measuring child touches the device (ADVICE r4: the old design
+        # compiled in a subprocess while the parent held the device)
+        ok, _ = _run_child(["--compile-only"] + scan_names,
+                           budget.cap(900, len(scan_names)),
+                           "compile")
+        if ok:
+            for i, name in enumerate(scan_names):
+                cap = budget.cap(300, len(scan_names) - 1 - i)
+                if cap < 60:
+                    break
+                _, hl = _run_child(["--child", "scanned", name], cap,
+                                   f"scanned:{name}")
+                if hl:
+                    headline_line = hl
+        else:
+            print("scanned-program prewarm failed/timed out; record keeps "
+                  "the pass-1 host-loop numbers", file=sys.stderr,
+                  flush=True)
+
+    # ---- guarantee the headline is the FINAL line (series continuity)
+    if headline_line:
+        print(headline_line, flush=True)
 
 
 def main():
-    global _COMPILE_ONLY, _CURRENT_BENCH
     argv = sys.argv[1:]
+    if argv[:1] == ["--child"]:
+        mode, name = argv[1], argv[2]
+        if mode == "fast":
+            _FAST_FNS[name]()
+        elif mode == "scanned":
+            child_offline_scanned(name)
+        else:
+            print(f"unknown child mode {mode}", file=sys.stderr)
+            sys.exit(2)
+        return
     if "--compile-only" in argv:
-        _COMPILE_ONLY = True
-        argv = [a for a in argv if a != "--compile-only"]
+        child_compile_only([a for a in argv if a != "--compile-only"])
+        return
     names = argv or list(BENCHES)
     unknown = [n for n in names if n not in BENCHES]
     if unknown:
-        print(f"unknown bench name(s) {unknown}; valid: {list(BENCHES)}",
+        print(f"unknown bench name(s) {unknown}; valid: {BENCHES}",
               file=sys.stderr)
         sys.exit(2)
-    if not _COMPILE_ONLY and set(names) != {"sharded_sp2"}:
-        # (sharded_sp2 is a cpu-subprocess config: no device here)
-        try:
-            _probe_rtt()
-        except Exception as e:
-            print(f"rtt probe failed: {type(e).__name__}: {e}",
-                  file=sys.stderr, flush=True)
-    failed = False
-    for name in names:
-        _CURRENT_BENCH = name
-        try:
-            BENCHES[name]()
-        except Exception as e:  # isolate: one failing config must not
-            # silence the remaining (esp. the headline, printed last)
-            failed = True
-            print(f"bench {name} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr, flush=True)
-    if failed:
-        sys.exit(1)
+    orchestrate(names)
 
 
 if __name__ == "__main__":

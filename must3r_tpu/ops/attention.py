@@ -42,6 +42,7 @@ Mask convention summary (matching the reference):
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
@@ -50,6 +51,31 @@ import numpy as np
 
 INT32_MAX = jnp.iinfo(jnp.int32).max
 _NEG_INF = -1e30
+
+# When True, every Pallas kernel entry point whose caller did not pass an
+# explicit `interpret=` runs in interpret mode. Lets CPU tests trace the
+# EXACT production pallas dispatch paths (impl='pallas' kwarg plumbing,
+# quantized serving reads, backward kernels) without TPU hardware -- the
+# round-4 `extra_kv` signature drift reached hardware first because no
+# CPU test could walk these code paths (tests/test_signature_matrix.py).
+INTERPRET_DEFAULT = bool(os.environ.get("MUST3R_PALLAS_INTERPRET"))
+
+
+def _resolve_interpret(interpret):
+    return INTERPRET_DEFAULT if interpret is None else interpret
+
+
+def _out_vma(*arrays):
+    """Union of the inputs' varying-mesh-axes sets. pallas_call inside a
+    vma-checked shard_map (the sp-sharded CA, parallel/sharded_attention.py)
+    must declare how its outputs vary across mesh axes; outputs vary
+    wherever any input does. Outside shard_map every set is empty and the
+    annotation is a no-op."""
+    vma = frozenset()
+    for a in arrays:
+        if a is not None:
+            vma |= getattr(jax.typeof(a), "vma", frozenset())
+    return vma
 
 
 def _default_impl(dh: Optional[int] = None) -> str:
@@ -185,7 +211,8 @@ def _sa_chunked(q, k, v, chunk: int = 1024):
 
 
 def _sa_pallas(q, k, v, block_q: int = 1024, block_k: int = 1024,
-               interpret: bool = False):
+               interpret: bool = None):
+    interpret = _resolve_interpret(interpret)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -239,7 +266,8 @@ def _sa_pallas(q, k, v, block_q: int = 1024, block_k: int = 1024,
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, n_q * bq, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_q * bq, dh), q.dtype,
+                                       vma=_out_vma(qt, kt, vt)),
         grid=(b, h, n_q),
         in_specs=[
             pl.BlockSpec((1, 1, bq, dh), lambda bi, hi, qi: (bi, hi, qi, 0)),
@@ -525,7 +553,7 @@ def _ca_chunked(q, k, v, labels, q_self, q_upper, extra_mask=None,
 
 def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
                block_k: Optional[int] = None, block_q: Optional[int] = None,
-               interpret: bool = False, return_stats: bool = False,
+               interpret: bool = None, return_stats: bool = False,
                ext=None, kv_scales=None):
     """Flash CA kernel over the packed KV cache.
 
@@ -544,6 +572,7 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
     (both (rows, bk) elementwise ops, noise next to the MXU dots). Halves
     the DMA bytes per token vs bf16.
     """
+    interpret = _resolve_interpret(interpret)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -736,15 +765,16 @@ def _ca_pallas(q, kv, labels, q_self, q_upper, kv_len, layer=None,
             # log-sum-exp per query row (flash-bwd recompute statistic)
             lse_ref[0, 0, 0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
+    vma = _out_vma(q, kv, labels, q_self, q_upper, kv_len, ext, kv_scales)
     out_shapes = [jax.ShapeDtypeStruct((b, g_grid, h, n_qb * bq, dh),
-                                       q.dtype)]
+                                       q.dtype, vma=vma)]
     out_specs = [pl.BlockSpec((1, 1, 1, bq, dh),
                               lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi,
                                                           0))]
     if return_stats:
         # trailing singleton keeps the block's last two dims tile-legal
         out_shapes.append(jax.ShapeDtypeStruct((b, g_grid, h, n_qb * bq, 1),
-                                               jnp.float32))
+                                               jnp.float32, vma=vma))
         out_specs.append(pl.BlockSpec(
             (1, 1, 1, bq, 1),
             lambda bi, gi, hi, qi, *_: (bi, gi, hi, qi, 0)))
@@ -905,7 +935,8 @@ def _pad_rows(x, q_pad):
 
 def _ca_bwd_dq_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
                       lse, delta, g_out, block_k=None, block_q=None,
-                      interpret: bool = False, ext=None):
+                      interpret: bool = None, ext=None):
+    interpret = _resolve_interpret(interpret)
     """dQ: same grid/DMA structure as the forward; accumulates
     ds . k over the live KV blocks."""
     from jax.experimental import pallas as pl
@@ -1062,8 +1093,9 @@ def _ca_bwd_dq_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
     dq = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, g_grid, h, n_qb * bq, dh),
-                                       q.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, g_grid, h, n_qb * bq, dh), q.dtype,
+            vma=_out_vma(q, kv, labels, lse, delta, g_out, ext)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary"),
@@ -1079,7 +1111,8 @@ def _ca_bwd_dq_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
 
 def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
                        lse, delta, g_out, block_k=None, block_q=None,
-                       interpret: bool = False, ext=None):
+                       interpret: bool = None, ext=None):
+    interpret = _resolve_interpret(interpret)
     """dK|dV for ONE layer's cache row [B, H, S, 2*Dh]: each program owns
     one KV block and loops every (image, q-block), recomputing p and
     accumulating ds^T.q and p^T.g. Blocks past the live length write
@@ -1288,7 +1321,9 @@ def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
     dkv = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, s_cap, 2 * dh), kv.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, h, s_cap, 2 * dh), kv.dtype,
+            vma=_out_vma(q, kv, labels, lse, delta, g_out, ext)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
@@ -1299,7 +1334,8 @@ def _ca_bwd_dkv_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
 
 def _ca_bwd_fused_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
                          lse, delta, g_out, block_k=None,
-                         interpret: bool = False, ext=None):
+                         interpret: bool = None, ext=None):
+    interpret = _resolve_interpret(interpret)
     """Fused dQ + dK/dV backward in ONE kernel launch (folded-G layout).
 
     The separate dQ and dK/dV kernels each re-DMA q/kv and recompute the
@@ -1442,9 +1478,10 @@ def _ca_bwd_fused_pallas(q, kv, labels, q_self, q_upper, kv_len, layer,
         pl.BlockSpec((1, 1, bk, 2 * dh), lambda bi, hi, ki, *_: (bi, hi,
                                                                  ki, 0)),
     )
+    _vma = _out_vma(q, kv, labels, lse, delta, g_out, ext)
     out_shapes = (
-        jax.ShapeDtypeStruct((b, 1, h, bq, dh), jnp.float32),
-        jax.ShapeDtypeStruct((b, h, s_cap, 2 * dh), kv.dtype),
+        jax.ShapeDtypeStruct((b, 1, h, bq, dh), jnp.float32, vma=_vma),
+        jax.ShapeDtypeStruct((b, h, s_cap, 2 * dh), kv.dtype, vma=_vma),
     )
     scratch = [
         pltpu.VMEM((bq, 2 * dh), q.dtype),

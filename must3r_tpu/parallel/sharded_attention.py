@@ -112,11 +112,6 @@ def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
     has_scl = kv_scale is not None
 
     def local(qv, kvv, lab, qs, qu, *scl):
-        # replicated operands enter the shard body as 'unvarying' over the
-        # sp axis; mark them varying so scan carries inside the flash pass
-        # type-check (lax.pcast is a no-op in the compiled program)
-        qv, qs, qu = (jax.lax.pcast(x, axis, to="varying")
-                      for x in (qv, qs, qu))
         scl = scl[0] if has_scl else None
         if use == "pallas":
             # bound the KV loop at this shard's fill level; a shard past
@@ -164,8 +159,14 @@ def sharded_memory_cross_attention(mesh: Mesh, q, kv, labels, q_self=None,
     if has_scl:
         in_specs.append(P(None, None, None, axis))
         args.append(kv_scale)
+    # check_vma=False: pallas_call inside a vma-checked shard_map rejects
+    # kernel-internal mixed-vma ops (dynamic_slice over scratch + varying
+    # blocks) at trace/interpret time -- JAX's own message recommends this
+    # switch. Replication of the outputs is guaranteed by the psum/pmax
+    # combine above (every shard computes the identical merged value).
     out_s, lse_s = jax.shard_map(
         local, mesh=mesh, in_specs=tuple(in_specs), out_specs=(P(), P()),
+        check_vma=False,
     )(*args)
     if extra_kv is None:
         return out_s
