@@ -81,6 +81,44 @@ def load_checkpoint(path: str, template=None):
     return (tree["params"], enc_cfg, dec_cfg, opt_state, meta)
 
 
+def save_params_npz(path: str, params, enc_cfg: EncoderConfig,
+                    dec_cfg: DecoderConfig, dtype=np.float16):
+    """Single-file portable param bundle (no orbax, no opt state): float
+    leaves stored as ``dtype`` (fp16 halves the file; eval/serving runs
+    bf16 anyway), configs as JSON inside the archive. Small enough to
+    commit a trained demo net as a regression-anchor fixture."""
+    flat = {"__enc_cfg__": np.frombuffer(
+        config_to_json(enc_cfg).encode(), dtype=np.uint8),
+        "__dec_cfg__": np.frombuffer(
+        config_to_json(dec_cfg).encode(), dtype=np.uint8)}
+    for path_elems, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                       for p in path_elems)
+        a = np.asarray(leaf)
+        flat["p:" + key] = a.astype(dtype) if a.dtype == np.float32 else a
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str):
+    """Returns (params, enc_cfg, dec_cfg) from a save_params_npz bundle;
+    float leaves come back float32."""
+    blob = np.load(path)
+    enc_cfg = config_from_json(bytes(blob["__enc_cfg__"]).decode())
+    dec_cfg = config_from_json(bytes(blob["__dec_cfg__"]).decode())
+    params: Dict[str, Any] = {}
+    for key in blob.files:
+        if not key.startswith("p:"):
+            continue
+        node = params
+        parts = key[2:].split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        a = blob[key]
+        node[parts[-1]] = jnp.asarray(
+            a.astype(np.float32) if a.dtype == np.float16 else a)
+    return params, enc_cfg, dec_cfg
+
+
 def latest_checkpoint(output_dir: str) -> Optional[str]:
     """Auto-resume hook (reference train.py:241-243): newest checkpoint-*
     directory under output_dir, or None."""

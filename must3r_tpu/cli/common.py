@@ -47,6 +47,9 @@ def load_or_init_model(chkpt: Optional[str], preset: str = "512",
         if os.path.isdir(chkpt):
             from must3r_tpu.checkpoint import load_checkpoint
             params, enc_cfg, dec_cfg, _, _ = load_checkpoint(chkpt)
+        elif chkpt.endswith(".npz"):
+            from must3r_tpu.checkpoint import load_params_npz
+            params, enc_cfg, dec_cfg = load_params_npz(chkpt)
         else:
             from must3r_tpu.checkpoint import convert_torch_checkpoint
             params, enc_cfg, dec_cfg = convert_torch_checkpoint(
