@@ -8,7 +8,7 @@ final line keep series continuity.
 Capture design (round 5). The top-level process is a pure ORCHESTRATOR:
 it never initializes the device. Every config runs in a bounded child
 subprocess against one shared wall-clock budget (BENCH_TOTAL_BUDGET,
-default 1500 s), in two passes:
+default 1800 s), in two passes:
 
   pass 1 (fast): every config emits a number via its cheap path — the
     host-side pipelined loop for the offline configs (marked
@@ -522,20 +522,25 @@ def child_sharded_sp2():
 
 
 # bench name -> (fast-pass fn, static wall cap seconds). Fast-pass order
-# below is the pass-1 execution order: headline config first.
+# below is the pass-1 execution order: headline config first, then the
+# CPU-only sp2 overhead (needs no tunnel -- never let device configs
+# starve it), then the rest by value-per-second.
 _FAST_PLAN = [
     ("rtt", child_rtt, 120),
     ("offline_512", lambda: child_offline_fast("offline_512"), 420),
+    ("sharded_sp2", child_sharded_sp2, 480),
     ("two_view_224", lambda: child_offline_fast("two_view_224"), 300),
     ("two_view_224_x8", lambda: child_offline_fast("two_view_224_x8"), 300),
     ("online_vo", child_online_vo, 420),
-    ("train_step", child_train_step, 540),
+    ("train_step", child_train_step, 600),
     ("retrieval_50", child_retrieval_50, 420),
-    ("sharded_sp2", child_sharded_sp2, 540),
 ]
 _FAST_FNS = {name: fn for name, fn, _ in _FAST_PLAN}
-# pass-2 scanned upgrades (offline configs only), headline first
-_SCANNED_ORDER = ["offline_512", "two_view_224", "two_view_224_x8"]
+# pass-2 scanned upgrades (offline configs only). two_view_224 first: its
+# host-loop number is the RTT-bound one (tiny per-dispatch compute), so
+# the scanned upgrade moves it most; the 512/x8 host-loop numbers are
+# already near device rate (big per-dispatch programs amortize the RTT).
+_SCANNED_ORDER = ["two_view_224", "offline_512", "two_view_224_x8"]
 
 BENCHES = [name for name, _, _ in _FAST_PLAN if name != "rtt"]
 
@@ -551,17 +556,22 @@ class _Budget:
     def remaining(self):
         return self.deadline - time.monotonic()
 
-    def cap(self, static_cap, n_after, floor_each=45.0):
+    def cap(self, static_cap, n_after, floor_each=150.0):
         """Child timeout: its static cap, shrunk so that each of the
-        n_after remaining children keeps at least floor_each seconds."""
+        n_after remaining children keeps at least floor_each seconds
+        (a measuring child needs ~1-2 min of backend init + warm trials
+        through the tunnel before it can emit anything; a 45 s floor in
+        the first r5 validation run starved retrieval/sp2 entirely)."""
         return min(static_cap, self.remaining() - floor_each * n_after)
 
 
-def _run_child(argv, timeout, tag):
+def _run_child(argv, timeout, tag, final):
     """Run a bounded child; relay its JSON metric lines to stdout and
     everything else to stderr. Partial lines from a killed child are
     still relayed (a timed-out child's already-emitted metrics land in
-    the record). Returns (ok, headline_line_or_None)."""
+    the record). Primary metrics (not *_trial_spread/*_degraded_*
+    diagnostics) are recorded into `final` (last occurrence wins).
+    Returns True if the child exited 0."""
     import subprocess
     cmd = [sys.executable, os.path.abspath(__file__)] + argv
     try:
@@ -577,13 +587,14 @@ def _run_child(argv, timeout, tag):
         rc = -1
         print(f"[{tag}] timed out after {timeout:.0f}s", file=sys.stderr,
               flush=True)
-    headline = None
     for ln in out.splitlines():
         if ln.startswith("{"):
             print(ln, flush=True)
             try:
-                if json.loads(ln).get("metric") == HEADLINE_METRIC:
-                    headline = ln
+                rec = json.loads(ln)
+                m = rec.get("metric", "")
+                if not m.endswith(("_trial_spread", "_degraded_hostloop")):
+                    final[m] = rec
             except ValueError:
                 pass
         else:
@@ -594,12 +605,12 @@ def _run_child(argv, timeout, tag):
             print(f"[{tag}] {ln}", file=sys.stderr, flush=True)
     if rc != 0:
         print(f"[{tag}] child rc={rc}", file=sys.stderr, flush=True)
-    return rc == 0, headline
+    return rc == 0
 
 
 def orchestrate(names):
-    budget = _Budget(float(os.environ.get("BENCH_TOTAL_BUDGET", "1500")))
-    headline_line = None
+    budget = _Budget(float(os.environ.get("BENCH_TOTAL_BUDGET", "1800")))
+    final = {}          # metric -> last-emitted record (insertion-ordered)
 
     # ---- pass 1: fast path for every requested config
     plan = [(n, cap) for n, _, cap in _FAST_PLAN
@@ -609,9 +620,8 @@ def orchestrate(names):
         if cap < 60:
             _emit(f"bench_{name}_capture_skipped", 1, "bool", None)
             continue
-        ok, hl = _run_child(["--child", "fast", name], cap, f"fast:{name}")
-        if hl:
-            headline_line = hl
+        ok = _run_child(["--child", "fast", name], cap, f"fast:{name}",
+                        final)
         if not ok and name != "rtt":
             _emit(f"bench_{name}_capture_failed", 1, "bool", None)
 
@@ -621,26 +631,32 @@ def orchestrate(names):
         # one compile child populates the persistent cache BEFORE any
         # measuring child touches the device (ADVICE r4: the old design
         # compiled in a subprocess while the parent held the device)
-        ok, _ = _run_child(["--compile-only"] + scan_names,
-                           budget.cap(900, len(scan_names)),
-                           "compile")
+        ok = _run_child(["--compile-only"] + scan_names,
+                        budget.cap(900, len(scan_names)),
+                        "compile", final)
         if ok:
             for i, name in enumerate(scan_names):
                 cap = budget.cap(300, len(scan_names) - 1 - i)
                 if cap < 60:
                     break
-                _, hl = _run_child(["--child", "scanned", name], cap,
-                                   f"scanned:{name}")
-                if hl:
-                    headline_line = hl
+                _run_child(["--child", "scanned", name], cap,
+                           f"scanned:{name}", final)
         else:
             print("scanned-program prewarm failed/timed out; record keeps "
                   "the pass-1 host-loop numbers", file=sys.stderr,
                   flush=True)
 
-    # ---- guarantee the headline is the FINAL line (series continuity)
-    if headline_line:
-        print(headline_line, flush=True)
+    # ---- final compact record: one line per metric, headline LAST.
+    # The driver keeps only the TAIL of the output plus the final parsed
+    # line (BENCH_r0*.json), so the complete set of authoritative values
+    # must sit at the very end, diagnostics excluded, headline closing.
+    print("[final record: last occurrence of each metric is authoritative]",
+          file=sys.stderr, flush=True)
+    hl = final.pop(HEADLINE_METRIC, None)
+    for rec in final.values():
+        print(json.dumps(rec), flush=True)
+    if hl is not None:
+        print(json.dumps(hl), flush=True)
 
 
 def main():
