@@ -526,7 +526,9 @@ def child_sharded_sp2():
 # CPU-only sp2 overhead (needs no tunnel -- never let device configs
 # starve it), then the rest by value-per-second.
 _FAST_PLAN = [
-    ("rtt", child_rtt, 120),
+    # 240 s: backend init alone can take >120 s through a sick tunnel
+    # (both r5 validation runs lost the rtt diagnostic to a 120 s cap)
+    ("rtt", child_rtt, 240),
     ("offline_512", lambda: child_offline_fast("offline_512"), 420),
     ("sharded_sp2", child_sharded_sp2, 480),
     ("two_view_224", lambda: child_offline_fast("two_view_224"), 300),
@@ -625,8 +627,18 @@ def orchestrate(names):
         if not ok and name != "rtt":
             _emit(f"bench_{name}_capture_failed", 1, "bool", None)
 
-    # ---- pass 2: scanned upgrades for the offline configs
-    scan_names = [n for n in _SCANNED_ORDER if n in names]
+    # ---- pass 2: scanned upgrades for the offline configs.
+    # Gated OFF by default: the remote compile service this environment
+    # mandates (local AOT is blocked by a libtpu client/terminal version
+    # mismatch) reliably drops the connection on the scanned program's
+    # compile request -- 4 recorded attempts across rounds 4-5 all died
+    # with 'Broken pipe (os error 32)' at ~25 min
+    # (docs/hw_roundup_r5/scanned_compile_attempts.md). The design stays
+    # one env var away (BENCH_TRY_SCANNED=1) for environments whose
+    # compile path can take it; the host-loop numbers + the RTT
+    # diagnostic line carry the record meanwhile.
+    scan_names = [n for n in _SCANNED_ORDER if n in names] \
+        if os.environ.get("BENCH_TRY_SCANNED") else []
     if scan_names and budget.remaining() > 300:
         # one compile child populates the persistent cache BEFORE any
         # measuring child touches the device (ADVICE r4: the old design
