@@ -276,6 +276,13 @@ def main():
     ap.add_argument("--quant_parity", action="store_true",
                     help="run bf16 + int8 caches on the same stream and "
                     "report trajectory deltas")
+    ap.add_argument("--min_conf", type=float, default=None,
+                    help="override SlamConfig.min_conf_keyframe: an "
+                    "underfit demo net at a transferred resolution emits "
+                    "near-floor confidence (~1.01 vs the reference-scale "
+                    "1.5 default), pinning the keyframe gate shut")
+    ap.add_argument("--overlap_thr", type=float, default=None,
+                    help="override SlamConfig.keyframe_overlap_thr")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -294,19 +301,45 @@ def main():
             hw = (48, 64) if args.tiny else (384, 512)
             frames = synth_frames(args.frames, *hw)
         runs = [None, "int8"] if args.quant_parity else [None]
+        slam_kw = {}
+        if args.min_conf is not None:
+            slam_kw["min_conf_keyframe"] = args.min_conf
+        if args.overlap_thr is not None:
+            slam_kw["keyframe_overlap_thr"] = args.overlap_thr
         trajs = {}
         for kvq in runs:
             tag = kvq or "bf16"
             r = soak_slam(frames, args.tiny, weights=args.weights,
                           kv_quant=kvq, res=args.res,
                           max_keyframes=args.max_keyframes,
-                          capture_traj=args.quant_parity)
+                          capture_traj=args.quant_parity,
+                          slam_kw=slam_kw)
             trajs[tag] = r.pop("_trajectory", None)
             report["slam" if kvq is None else f"slam_{tag}"] = r
             print(json.dumps(r, indent=2), flush=True)
         if args.quant_parity and trajs.get("bf16") is not None:
-            report["quant_traj_parity"] = _traj_delta(trajs["int8"],
-                                                      trajs["bf16"])
+            same_schedule = (report["slam"]["keyframes_per_window"]
+                             == report["slam_int8"]["keyframes_per_window"]
+                             and report["slam"]["keyframes"]
+                             == report["slam_int8"]["keyframes"])
+            if same_schedule:
+                report["quant_traj_parity"] = _traj_delta(trajs["int8"],
+                                                          trajs["bf16"])
+            else:
+                # pose-vs-pose deltas are meaningless across different
+                # maps: near the overlap threshold the int8 cache's
+                # <=0.6% storage error legitimately flips borderline
+                # keyframe decisions, after which every later pose is
+                # anchored to a different memory. Storage-error-only
+                # parity (deterministic schedule) is QUANT_CAPACITY.json.
+                report["quant_traj_parity"] = {
+                    "schedule_diverged": True,
+                    "keyframes": [report["slam"]["keyframes"],
+                                  report["slam_int8"]["keyframes"]],
+                    "note": "trajectory delta suppressed; see "
+                            "docs/QUANT_CAPACITY.json for fixed-schedule "
+                            "storage-error parity",
+                }
             print(json.dumps(report["quant_traj_parity"], indent=2),
                   flush=True)
 
