@@ -106,6 +106,10 @@ def must3r_inference(core: InferenceCore, views: Sequence[dict],
         # fetched (the full token set is ~150 MB at 50 views)
         keyframes = select_keyframes(core, x, num_mem_images,
                                      retrieval_head, codebook)
+    # defensive dedupe (order-preserving): a duplicated keyframe id would
+    # make `order` longer than v and corrupt the unpermute below
+    keyframes = list(dict.fromkeys(int(k) for k in keyframes))
+    num_mem_images = len(keyframes)
     not_keyframes = sorted(set(range(v)) - set(keyframes))
     order = list(keyframes) + not_keyframes
     if verbose:

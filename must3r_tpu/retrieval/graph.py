@@ -23,7 +23,15 @@ def farthest_point_sampling(dist: np.ndarray, n: Optional[int] = None,
     indices = [int(rng.integers(dist.shape[0]))]
     distances = [0.0]
     for _ in range(1, n):
-        d = dist[indices].min(axis=0)
+        if len(indices) == dist.shape[0]:
+            break
+        d = dist[indices].min(axis=0).astype(np.float64, copy=True)
+        # never re-pick a selected point: on a near-uniform matrix
+        # (e.g. ASMK sims ~1.0 between near-identical views) every
+        # remaining distance can tie at ~0 and argmax would return an
+        # already-chosen index, producing duplicate anchors (and a
+        # corrupted keyframe permutation downstream)
+        d[indices] = -np.inf
         best = int(d.argmax())
         if dist_thresh is not None and d[best] < dist_thresh:
             break

@@ -95,6 +95,32 @@ def test_fps_covers_space(rng):
     assert (idx[0] < 20) != (idx[1] < 20)
 
 
+def test_fps_unique_on_degenerate_matrix():
+    """Near-identical views give an all-~zero distance matrix; FPS must
+    still return UNIQUE anchors (a duplicate corrupted the keyframe
+    permutation in get_reconstruction --mode retrieval: r5 regression,
+    reference demo/inference.py:139-171 role)."""
+    dist = np.zeros((6, 6))
+    idx, _ = farthest_point_sampling(dist, n=4, seed=0)
+    assert len(idx) == len(set(idx.tolist()))
+    # n > N must also terminate with unique anchors
+    idx2, _ = farthest_point_sampling(np.zeros((3, 3)), n=10, seed=0)
+    assert sorted(idx2.tolist()) == [0, 1, 2]
+
+
+def test_select_keyframes_unique_on_similar_views(rng):
+    """End-to-end select_keyframes on near-identical token sets returns
+    a valid permutation prefix (no duplicate ids)."""
+    from must3r_tpu.demo.inference import select_keyframes
+
+    base = rng.standard_normal((1, 16, 32)).astype(np.float32)
+    x = np.repeat(base, 6, axis=0) + 1e-4 * rng.standard_normal(
+        (6, 16, 32)).astype(np.float32)
+    kfs = select_keyframes(None, x, 4)
+    assert len(kfs) == len(set(kfs))
+    assert all(0 <= k < 6 for k in kfs)
+
+
 def test_make_pairs_fps_connectivity(rng):
     n = 12
     sim = rng.random((n, n))
