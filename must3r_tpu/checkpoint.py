@@ -92,8 +92,12 @@ def save_params_npz(path: str, params, enc_cfg: EncoderConfig,
         "__dec_cfg__": np.frombuffer(
         config_to_json(dec_cfg).encode(), dtype=np.uint8)}
     for path_elems, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
-                       for p in path_elems)
+        # dict-keyed trees only: a list/tuple container would flatten to
+        # integer path parts here but reload as dict keys ("0", "1"),
+        # silently changing the tree structure
+        assert all(hasattr(p, "key") for p in path_elems), (
+            f"save_params_npz supports dict pytrees only, got {path_elems}")
+        key = "/".join(str(p.key) for p in path_elems)
         a = np.asarray(leaf)
         flat["p:" + key] = a.astype(dtype) if a.dtype == np.float32 else a
     np.savez_compressed(path, **flat)
